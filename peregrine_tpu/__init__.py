@@ -1,0 +1,20 @@
+"""peregrine_tpu — a TPU-native OLC genome assembler for accurate long reads.
+
+A from-scratch re-design of the Peregrine assembler (SHIMMER hierarchical
+minimizer index + overlap + string-graph layout + FALCON-style consensus)
+built for TPU hardware: the compute path is JAX/XLA/Pallas array programs
+over sharded device arrays; the host runtime (I/O, graph layout, stage
+orchestration) is Python + native C++ extensions.
+
+Reference capability map: see SURVEY.md at the repo root.  File-format
+compatibility targets the reference's on-disk ABI (SURVEY.md §2.4) so that
+outputs can be validated against the reference pipeline.
+"""
+
+import jax
+
+# 56-bit minimizer hashes and packed (hash, rid, pos, strand) records need
+# 64-bit integer lanes; enable x64 once, package-wide, before any tracing.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,214 @@
+"""Packed sequence database (seqdb) — vectorized codec + reference-compatible files.
+
+The on-disk format is byte-compatible with the reference assembler so outputs
+can be cross-validated:
+
+* ``<prefix>.seqdb`` — one byte per base, 4-bit dual-strand code: the low
+  nibble holds the forward base at position ``p``, the high nibble holds the
+  complement of the base at the mirrored position ``len-1-p``; decoding the
+  same bytes through the high nibble yields the reverse complement
+  (reference: src/shmr_utils.c:18-62).
+* ``<prefix>.idx`` — text rows ``%09d name len offset``
+  (reference: src/shmr_mkseqdb.c:112).
+
+Unlike the reference (pointer-chasing over an mmap), the in-memory form here
+is a dense numpy byte array plus offset/length tables, from which padded
+2-bit code batches are materialized for the TPU sketch kernel.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+ORIGINAL = 0
+REVERSED = 1
+
+# 4-bit one-hot base codes: A=1 C=2 G=4 T=8, anything else 0 ("N").
+_F4 = np.zeros(256, dtype=np.uint8)
+_R4 = np.zeros(256, dtype=np.uint8)
+for _b, _f, _r in (("A", 1, 8), ("C", 2, 4), ("G", 4, 2), ("T", 8, 1)):
+    _F4[ord(_b)] = _F4[ord(_b.lower())] = _f
+    _R4[ord(_b)] = _R4[ord(_b.lower())] = _r
+
+# nibble -> ASCII base (reference bits_to_base, src/shmr_utils.c:53)
+_BITS2BASE = np.frombuffer(b"NACNGNNNTNNNNNNN", dtype=np.uint8).copy()
+
+# nibble -> 2-bit code (A=0 C=1 G=2 T=3, N=4) for the sketch kernel
+_NIB2CODE = np.full(16, 4, dtype=np.uint8)
+for _nib, _code in ((1, 0), (2, 1), (4, 2), (8, 3)):
+    _NIB2CODE[_nib] = _code
+
+# ASCII -> 2-bit code (minimap2 seq_nt4_table semantics, src/mm_sketch.c:10)
+_NT4 = np.full(256, 4, dtype=np.uint8)
+for _b, _c in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _NT4[ord(_b)] = _NT4[ord(_b.lower())] = _c
+
+_CODE2BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_biseq(seq_bytes: bytes | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> 4-bit dual-strand packed bytes (vectorized)."""
+    s = np.frombuffer(seq_bytes, dtype=np.uint8) if isinstance(
+        seq_bytes, (bytes, bytearray)) else np.asarray(seq_bytes, dtype=np.uint8)
+    return (_R4[s[::-1]] << 4) | _F4[s]
+
+
+def decode_biseq(packed: np.ndarray | bytes, strand: int = ORIGINAL) -> bytes:
+    """Packed bytes -> ASCII sequence; REVERSED yields the reverse complement."""
+    p = np.frombuffer(packed, dtype=np.uint8) if isinstance(
+        packed, (bytes, bytearray, memoryview)) else np.asarray(packed, dtype=np.uint8)
+    nib = (p & 0x0F) if strand == ORIGINAL else (p >> 4)
+    return _BITS2BASE[nib].tobytes()
+
+
+def packed_to_codes(packed: np.ndarray, strand: int = ORIGINAL) -> np.ndarray:
+    """Packed bytes -> 2-bit codes (0..3, N=4) on the requested strand."""
+    p = np.asarray(packed, dtype=np.uint8)
+    nib = (p & 0x0F) if strand == ORIGINAL else (p >> 4)
+    return _NIB2CODE[nib]
+
+
+def seq_to_codes(seq_bytes: bytes) -> np.ndarray:
+    return _NT4[np.frombuffer(seq_bytes, dtype=np.uint8)]
+
+
+def codes_to_seq(codes: np.ndarray) -> bytes:
+    return _CODE2BASE[np.minimum(codes, 4)].tobytes()
+
+
+def revcomp(seq: bytes) -> bytes:
+    tr = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+    return seq.translate(tr)[::-1]
+
+
+def _open_maybe_gz(path: str):
+    if path.endswith(".gz"):
+        return io.BufferedReader(gzip.open(path, "rb"))
+    return open(path, "rb")
+
+
+def read_fastx(path: str) -> Iterator[tuple[str, bytes]]:
+    """Yield (name, sequence) from FASTA or FASTQ, optionally gzipped."""
+    with _open_maybe_gz(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if first == b"@":  # FASTQ
+            while True:
+                header = f.readline()
+                if not header:
+                    return
+                seq = f.readline().strip()
+                f.readline()  # '+'
+                f.readline()  # quals
+                yield header[1:].split()[0].decode(), seq
+        else:  # FASTA (possibly multi-line)
+            name, chunks = None, []
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield name, b"".join(chunks)
+                    name, chunks = line[1:].split()[0].decode(), []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                yield name, b"".join(chunks)
+
+
+@dataclass
+class SeqDB:
+    """Dense packed sequence store with reference-compatible (de)serialization."""
+
+    data: np.ndarray                 # concatenated 4-bit dual-strand bytes
+    offsets: np.ndarray              # int64 [n]
+    lengths: np.ndarray              # int64 [n]
+    names: list[str] = field(default_factory=list)
+
+    # ----- construction -------------------------------------------------
+    @classmethod
+    def from_reads(cls, reads: Iterable[tuple[str, bytes]]) -> "SeqDB":
+        names, offs, lens, bufs = [], [], [], []
+        off = 0
+        for name, seq in reads:
+            enc = encode_biseq(seq)
+            names.append(name)
+            offs.append(off)
+            lens.append(len(seq))
+            bufs.append(enc)
+            off += len(seq)
+        data = np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8)
+        return cls(data, np.asarray(offs, np.int64), np.asarray(lens, np.int64), names)
+
+    @classmethod
+    def from_file_list(cls, list_path: str) -> "SeqDB":
+        """Build from a list-of-files manifest (reference shmr_mkseqdb -d)."""
+        def gen():
+            with open(list_path) as f:
+                for line in f:
+                    p = line.strip()
+                    if p:
+                        yield from read_fastx(p)
+        return cls.from_reads(gen())
+
+    @classmethod
+    def open(cls, prefix: str) -> "SeqDB":
+        names, offs, lens = [], [], []
+        with open(prefix + ".idx") as f:
+            for row in f:
+                parts = row.split()
+                if len(parts) < 4:
+                    continue
+                names.append(parts[1])
+                lens.append(int(parts[2]))
+                offs.append(int(parts[3]))
+        data = np.fromfile(prefix + ".seqdb", dtype=np.uint8)
+        return cls(data, np.asarray(offs, np.int64), np.asarray(lens, np.int64), names)
+
+    def save(self, prefix: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
+        self.data.tofile(prefix + ".seqdb")
+        with open(prefix + ".idx", "w") as f:
+            for rid in range(len(self)):
+                f.write(f"{rid:09d} {self.names[rid]} "
+                        f"{int(self.lengths[rid])} {int(self.offsets[rid])}\n")
+
+    # ----- access -------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    def packed(self, rid: int) -> np.ndarray:
+        o, l = int(self.offsets[rid]), int(self.lengths[rid])
+        return self.data[o:o + l]
+
+    def seq(self, rid: int, strand: int = ORIGINAL) -> bytes:
+        return decode_biseq(self.packed(rid), strand)
+
+    def codes(self, rid: int, strand: int = ORIGINAL) -> np.ndarray:
+        return packed_to_codes(self.packed(rid), strand)
+
+    def padded_code_batch(self, rids: Sequence[int], pad_len: int) -> tuple[np.ndarray, np.ndarray]:
+        """Materialize [B, pad_len] 2-bit code batch (pad value 4 = invalid).
+
+        Returns (codes, lengths); reads longer than pad_len are rejected.
+        """
+        batch = np.full((len(rids), pad_len), 4, dtype=np.uint8)
+        lens = np.zeros(len(rids), dtype=np.int32)
+        for i, rid in enumerate(rids):
+            c = self.codes(rid)
+            if len(c) > pad_len:
+                raise ValueError(f"read {rid} length {len(c)} > pad_len {pad_len}")
+            batch[i, :len(c)] = c
+            lens[i] = len(c)
+        return batch, lens
+
+    def write_fasta(self, path: str) -> None:
+        with open(path, "w") as f:
+            for rid in range(len(self)):
+                f.write(f">{self.names[rid]}\n{self.seq(rid).decode()}\n")

@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on host-platform virtual devices (same XLA partitioner semantics).
+Must run before the first `import jax` in any test module.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_seq(rng, n: int, with_n: bool = False) -> bytes:
+    alphabet = b"ACGTN" if with_n else b"ACGT"
+    probs = [0.245, 0.245, 0.245, 0.245, 0.02] if with_n else None
+    return rng.choice(list(alphabet), size=n, p=probs).astype(np.uint8).tobytes()
+
+
+@pytest.fixture
+def random_seq_fn():
+    return random_seq

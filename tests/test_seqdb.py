@@ -1,0 +1,75 @@
+import numpy as np
+
+from peregrine_tpu.io.seqdb import (
+    SeqDB, ORIGINAL, REVERSED, decode_biseq, encode_biseq,
+    packed_to_codes, read_fastx, revcomp, seq_to_codes,
+)
+from tests.conftest import random_seq
+
+
+def test_encode_decode_roundtrip(rng):
+    seq = random_seq(rng, 1000)
+    packed = encode_biseq(seq)
+    assert decode_biseq(packed, ORIGINAL) == seq
+    assert decode_biseq(packed, REVERSED) == revcomp(seq)
+
+
+def test_codes(rng):
+    seq = random_seq(rng, 500)
+    packed = encode_biseq(seq)
+    np.testing.assert_array_equal(packed_to_codes(packed, ORIGINAL),
+                                  seq_to_codes(seq))
+    np.testing.assert_array_equal(packed_to_codes(packed, REVERSED),
+                                  seq_to_codes(revcomp(seq)))
+
+
+def test_n_bases_roundtrip():
+    seq = b"ACGTNNACGT"
+    packed = encode_biseq(seq)
+    assert decode_biseq(packed, ORIGINAL) == seq
+    # N complements to N
+    assert decode_biseq(packed, REVERSED) == b"ACGTNNACGT"[::-1].translate(
+        bytes.maketrans(b"ACGT", b"TGCA"))
+
+
+def test_seqdb_files(tmp_path, rng):
+    reads = [(f"read/{i}", random_seq(rng, rng.integers(100, 400))) for i in range(20)]
+    db = SeqDB.from_reads(reads)
+    prefix = str(tmp_path / "seqdb" / "test")
+    db.save(prefix)
+
+    # idx format: "%09d name len offset"
+    lines = open(prefix + ".idx").read().splitlines()
+    assert len(lines) == 20
+    rid, name, ln, off = lines[0].split()
+    assert rid == "000000000" and name == "read/0" and off == "0"
+    assert int(ln) == len(reads[0][1])
+
+    db2 = SeqDB.open(prefix)
+    assert len(db2) == 20
+    for i, (name, seq) in enumerate(reads):
+        assert db2.seq(i) == seq
+        assert db2.seq(i, REVERSED) == revcomp(seq)
+        assert db2.names[i] == name
+
+
+def test_fastx_reader(tmp_path, rng):
+    fa = tmp_path / "t.fa"
+    seqs = {f"s{i}": random_seq(rng, 120) for i in range(3)}
+    with open(fa, "w") as f:
+        for n, s in seqs.items():
+            f.write(f">{n} extra desc\n")
+            # multi-line fasta
+            f.write(s[:50].decode() + "\n" + s[50:].decode() + "\n")
+    got = dict(read_fastx(str(fa)))
+    assert {k: v for k, v in got.items()} == seqs
+
+
+def test_padded_batch(rng):
+    reads = [(f"r{i}", random_seq(rng, 50 + i)) for i in range(4)]
+    db = SeqDB.from_reads(reads)
+    batch, lens = db.padded_code_batch([0, 1, 2, 3], 64)
+    assert batch.shape == (4, 64)
+    np.testing.assert_array_equal(lens, [50, 51, 52, 53])
+    assert (batch[0, 50:] == 4).all()
+    np.testing.assert_array_equal(batch[2, :52], seq_to_codes(reads[2][1]))
