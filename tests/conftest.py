@@ -7,11 +7,18 @@ Must run before the first `import jax` in any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment preloads jax via a sitecustomize hook that
+# force-registers the remote-TPU ("axon") backend and pins
+# jax_platforms=axon, so the JAX_PLATFORMS env var is ignored.  Overriding
+# through the config API before first backend use does work.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
