@@ -1,0 +1,135 @@
+"""SHIMMER index build — batched device sketch/reduce + sorted-array counts.
+
+Replaces the reference's per-chunk shmr_index process (src/shmr_index.c:37-245):
+reads are bucketed by padded length, sketched and hierarchically reduced on
+device in batches, and the resulting (x, y) records concatenated in rid
+order.  Minimizer multiplicities become sorted (hash, count) arrays instead
+of a khash (src/shmr_utils.c:131-160) — lookups are vectorized
+searchsorted, merging across shards is a concatenate-and-segment-sum.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AsmConfig
+from ..io import formats
+from ..io.seqdb import SeqDB
+from .reduce import reduce_batch
+from .sketch import sketch_batch
+
+_INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@dataclass
+class ShimmerIndex:
+    """Final-level SHIMMER records (rid-ordered) + global hash counts."""
+
+    x: np.ndarray           # uint64 [N] hash<<8|span
+    y: np.ndarray           # uint64 [N] rid<<32|pos<<1|strand
+    mc_hash: np.ndarray     # uint64 [M] sorted distinct hashes
+    mc_count: np.ndarray    # uint32 [M] multiplicities
+
+    def counts_for(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized multiplicity lookup (0 for unseen hashes)."""
+        idx = np.searchsorted(self.mc_hash, hashes)
+        idx_c = np.minimum(idx, len(self.mc_hash) - 1) if len(self.mc_hash) else idx * 0
+        hit = (len(self.mc_hash) > 0) & (self.mc_hash[idx_c] == hashes)
+        return np.where(hit, self.mc_count[idx_c], 0).astype(np.uint32)
+
+    # --- reference-format io -------------------------------------------
+    def save(self, prefix: str, level: int, chunk: int = 1, total: int = 1) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
+        formats.write_mmlist(f"{prefix}-L{level}-{chunk:02d}-of-{total:02d}.dat",
+                             self.x, self.y)
+        formats.write_mm_count(f"{prefix}-L{level}-MC-{chunk:02d}-of-{total:02d}.dat",
+                               self.mc_hash, self.mc_count)
+
+    @classmethod
+    def load_chunks(cls, paths_mm: list[str], paths_mc: list[str]) -> "ShimmerIndex":
+        xs, ys = zip(*(formats.read_mmlist(p) for p in paths_mm))
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        hs, cs = [], []
+        for p in paths_mc:
+            h, c = formats.read_mm_count(p)
+            hs.append(h)
+            cs.append(c)
+        mh, mc = _merge_counts(np.concatenate(hs), np.concatenate(cs))
+        return cls(x, y, mh, mc)
+
+
+def _merge_counts(hashes: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if len(hashes) == 0:
+        return hashes.astype(np.uint64), counts.astype(np.uint32)
+    order = np.argsort(hashes, kind="stable")
+    h = hashes[order]
+    c = counts[order]
+    uniq, start = np.unique(h, return_index=True)
+    sums = np.add.reduceat(c.astype(np.uint64), start)
+    return uniq, sums.astype(np.uint32)
+
+
+def _length_buckets(lengths: np.ndarray, unit: int) -> dict[int, np.ndarray]:
+    pads = np.maximum(1, -(-lengths // unit)) * unit
+    out: dict[int, np.ndarray] = {}
+    for p in np.unique(pads):
+        out[int(p)] = np.flatnonzero(pads == p)
+    return out
+
+
+def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
+                keep_l0: bool = False):
+    """Build the final-level SHIMMER index for (a subset of) a SeqDB.
+
+    Mirrors shmr_index semantics (sketch -> r-reduce x levels, counts of the
+    final level; src/shmr_index.c:155-233) with device-batched execution.
+
+    Returns a ShimmerIndex (plus the L0 index when keep_l0).
+    """
+    rids_all = np.arange(len(db)) if rid_filter is None else np.asarray(rid_filter)
+    lengths = db.lengths[rids_all].astype(np.int64)
+    xs: dict[int, np.ndarray] = {}
+    ys: dict[int, np.ndarray] = {}
+    l0xs: dict[int, np.ndarray] = {}
+    l0ys: dict[int, np.ndarray] = {}
+
+    for pad, sel in _length_buckets(lengths, cfg.sketch_pad_len).items():
+        batch_rids = rids_all[sel]
+        bsz = max(1, min(cfg.sketch_batch, (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
+        for i in range(0, len(batch_rids), bsz):
+            part = batch_rids[i:i + bsz]
+            codes, lens = db.padded_code_batch(part, pad)
+            x0, y0, c0 = sketch_batch(jnp.asarray(codes), jnp.asarray(lens),
+                                      jnp.asarray(part.astype(np.uint32)),
+                                      w=cfg.w, k=cfg.k)
+            xl, yl, cl = x0, y0, c0
+            for _ in range(cfg.levels):
+                xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
+            xl, yl, cl = jax.device_get((xl, yl, cl))
+            if keep_l0:
+                x0, y0, c0 = jax.device_get((x0, y0, c0))
+            for b, rid in enumerate(part):
+                xs[rid] = xl[b, :cl[b]]
+                ys[rid] = yl[b, :cl[b]]
+                if keep_l0:
+                    l0xs[rid] = x0[b, :c0[b]]
+                    l0ys[rid] = y0[b, :c0[b]]
+
+    order = sorted(xs)
+    x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)
+    y = np.concatenate([ys[r] for r in order]) if order else np.zeros(0, np.uint64)
+    mh, mc = _merge_counts(x >> np.uint64(8),
+                           np.ones(len(x), np.uint32))
+    idx = ShimmerIndex(x, y, mh, mc)
+    if keep_l0:
+        lx = np.concatenate([l0xs[r] for r in order]) if order else np.zeros(0, np.uint64)
+        ly = np.concatenate([l0ys[r] for r in order]) if order else np.zeros(0, np.uint64)
+        mh0, mc0 = _merge_counts(lx >> np.uint64(8), np.ones(len(lx), np.uint32))
+        return idx, ShimmerIndex(lx, ly, mh0, mc0)
+    return idx

@@ -1,0 +1,77 @@
+import numpy as np
+
+from peregrine_tpu.config import AsmConfig
+from peregrine_tpu.io import formats
+from peregrine_tpu.io.seqdb import SeqDB
+from peregrine_tpu.ops.index import ShimmerIndex, build_index
+from tests import oracles
+from tests.conftest import random_seq
+
+
+def _cfg():
+    return AsmConfig(k=8, w=12, r=4, levels=2, sketch_pad_len=1024, sketch_batch=8)
+
+
+def test_build_index_matches_oracle(rng):
+    cfg = _cfg()
+    reads = [(f"r{i}", random_seq(rng, int(rng.integers(800, 3000))))
+             for i in range(12)]
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    want = []
+    for rid, (_, s) in enumerate(reads):
+        l0 = oracles.mm_sketch(s, cfg.w, cfg.k, rid)
+        l1 = oracles.mm_reduce(l0, cfg.r)
+        want.extend(oracles.mm_reduce(l1, cfg.r))
+    got = list(zip(idx.x.tolist(), idx.y.tolist()))
+    assert got == want
+
+    # counts: multiplicity of each final-level hash
+    from collections import Counter
+    cnt = Counter(x >> 8 for x, _ in want)
+    assert dict(zip(idx.mc_hash.tolist(), idx.mc_count.tolist())) == dict(cnt)
+    # vectorized lookup
+    probe = np.array(list(cnt)[:5] + [123456789], dtype=np.uint64)
+    got_c = idx.counts_for(probe)
+    want_c = [cnt.get(int(h), 0) for h in probe]
+    assert got_c.tolist() == want_c
+
+
+def test_formats_roundtrip(tmp_path, rng):
+    x = rng.integers(0, 1 << 62, 100).astype(np.uint64)
+    y = rng.integers(0, 1 << 62, 100).astype(np.uint64)
+    p = str(tmp_path / "t.dat")
+    formats.write_mmlist(p, x, y)
+    x2, y2 = formats.read_mmlist(p)
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+    # 16-byte records + 8-byte header, mm_count padded to 16 as in C
+    assert (tmp_path / "t.dat").stat().st_size == 8 + 1600
+    formats.write_mm_count(p, x, y.astype(np.uint32))
+    h, c = formats.read_mm_count(p)
+    np.testing.assert_array_equal(h, x)
+    np.testing.assert_array_equal(c, y.astype(np.uint32))
+    assert (tmp_path / "t.dat").stat().st_size == 8 + 1600
+
+
+def test_index_save_load_chunks(tmp_path, rng):
+    cfg = _cfg()
+    reads = [(f"r{i}", random_seq(rng, 1500)) for i in range(8)]
+    db = SeqDB.from_reads(reads)
+    # two chunks: rid % 2 == c % 2  (reference chunking, src/shmr_index.c:157)
+    paths_mm, paths_mc = [], []
+    for c in (1, 2):
+        sel = np.flatnonzero(np.arange(len(db)) % 2 == c % 2)
+        part = build_index(db, cfg, rid_filter=sel)
+        part.save(str(tmp_path / "shmr"), level=2, chunk=c, total=2)
+        paths_mm.append(str(tmp_path / f"shmr-L2-{c:02d}-of-02.dat"))
+        paths_mc.append(str(tmp_path / f"shmr-L2-MC-{c:02d}-of-02.dat"))
+    merged = ShimmerIndex.load_chunks(paths_mm, paths_mc)
+
+    full = build_index(db, cfg)
+    # same record multiset and identical merged counts
+    assert sorted(zip(merged.x.tolist(), merged.y.tolist())) == \
+        sorted(zip(full.x.tolist(), full.y.tolist()))
+    np.testing.assert_array_equal(merged.mc_hash, full.mc_hash)
+    np.testing.assert_array_equal(merged.mc_count, full.mc_count)
