@@ -1,0 +1,266 @@
+"""Overlap detection: SHIMMER pair map + bucketed alignment confirmation.
+
+TPU-first reformulation of the reference overlapper (src/shmr_overlap.c,
+src/shmr_utils.c:295-404):
+
+* The two-level khash MMER0->MMER1->hits becomes **sorted arrays**: oriented
+  (key0, key1, y0, y1, dir) records are generated vectorized and sorted by
+  the composite bucket key; buckets are contiguous runs.  Hash-sharding is
+  the same `hash % total_chunk` filter, applied as a mask.
+* Bucket processing keeps the reference's *sequential accept semantics*
+  (bestn extension cap, containment kill, global rid-pair dedup,
+  src/shmr_overlap.c:52-180) on the host, but buckets are visited in
+  canonical sorted order rather than khash iteration order — the reference
+  output is itself hash-order dependent, so parity is validated at the
+  dnadiff/contig level (SURVEY.md §7.3).
+* Alignment confirmation calls the native banded O(ND) kernel; a batched
+  device path can be substituted transparently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import AsmConfig
+from ..io.seqdb import SeqDB
+from ..native import ovlp_match
+from .index import ShimmerIndex
+
+OVERLAP, CONTAINS, CONTAINED = 0, 1, 2
+
+_U28 = np.uint64(0xFFFFFFF)
+_U32 = np.uint64(0xFFFFFFFF)
+
+OVLP_DTYPE = np.dtype([
+    ("y0", "<u8"), ("y1", "<u8"), ("rl0", "<u4"), ("rl1", "<u4"),
+    ("strand0", "u1"), ("strand1", "u1"), ("ovlp_type", "u1"),
+    ("m_size", "<i4"), ("dist", "<i4"),
+    ("q_bgn", "<i4"), ("q_end", "<i4"), ("t_bgn", "<i4"), ("t_end", "<i4"),
+    ("t_m_end", "<i4"), ("q_m_end", "<i4"),
+])
+
+
+def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
+                chunk: int = 1, total_chunk: int = 1,
+                mc_lower: int = 2, mc_upper: int = 240,
+                min_dist: int = 100):
+    """Oriented adjacent-SHIMMER pair records (build_map semantics,
+    src/shmr_utils.c:295-404), vectorized.
+
+    Returns (key0, key1, y0, y1, direction) arrays sorted by (key0, key1).
+    """
+    x, y = idx.x, idx.y
+    if len(x) < 2:
+        z = np.zeros(0, np.uint64)
+        return z, z, z, z, np.zeros(0, np.uint8)
+    counts = idx.counts_for(x >> np.uint64(8))
+
+    # the reference scans to the first entry with count in [lower, upper)
+    # then filters subsequent entries with count in [lower, upper]
+    elig = (counts >= mc_lower) & (counts <= mc_upper)
+    first_ok = (counts >= mc_lower) & (counts < mc_upper)
+    s_candidates = np.flatnonzero(first_ok)
+    if len(s_candidates) == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, z, z, np.zeros(0, np.uint8)
+    s = s_candidates[0]
+    keep = elig.copy()
+    keep[:s] = False
+    keep[s] = True
+    sel = np.flatnonzero(keep)
+
+    fx, fy = x[sel], y[sel]
+    a0, a1 = fx[:-1], fx[1:]
+    b0, b1 = fy[:-1], fy[1:]
+    same_read = (b0 >> np.uint64(32)) == (b1 >> np.uint64(32))
+    dist = ((b1 >> np.uint64(1)) & _U28) - ((b0 >> np.uint64(1)) & _U28)
+    far = dist.astype(np.uint32) >= np.uint32(min_dist)
+    pair = same_read & far
+
+    p0x, p1x = a0[pair], a1[pair]
+    p0y, p1y = b0[pair], b1[pair]
+    tc = np.uint64(total_chunk)
+    ck = np.uint64(chunk % total_chunk)
+
+    # forward orientation, sharded by the leading hash
+    fsel = ((p0x >> np.uint64(8)) % tc) == ck
+    k0f, k1f = p0x[fsel], p1x[fsel]
+    y0f, y1f = p0y[fsel], p1y[fsel]
+
+    # reverse orientation: keys swapped, coordinates flipped to the other
+    # strand (rpos = rlen - pos - 1 + span - 1 with pos already +1'd;
+    # src/shmr_utils.c:377-395)
+    rsel = ((p1x >> np.uint64(8)) % tc) == ck
+    k0r, k1r = p1x[rsel], p0x[rsel]
+
+    rl = read_lengths.astype(np.uint64)
+
+    def _flip(yv: np.ndarray, xv: np.ndarray) -> np.ndarray:
+        span = xv & np.uint64(0xFF)
+        rid = yv >> np.uint64(32)
+        pos = ((yv & _U32) >> np.uint64(1)) + np.uint64(1)
+        rpos = rl[rid.astype(np.int64)] - pos + span - np.uint64(1)
+        return ((yv & np.uint64(0xFFFFFFFF00000001))
+                | ((rpos << np.uint64(1)) & _U32)) ^ np.uint64(1)
+
+    y0r = _flip(p1y[rsel], p1x[rsel])
+    y1r = _flip(p0y[rsel], p0x[rsel])
+
+    key0 = np.concatenate([k0f, k0r])
+    key1 = np.concatenate([k1f, k1r])
+    y0 = np.concatenate([y0f, y0r])
+    y1 = np.concatenate([y1f, y1r])
+    direction = np.concatenate([np.zeros(len(k0f), np.uint8),
+                                np.ones(len(k0r), np.uint8)])
+
+    order = np.lexsort((key1, key0))
+    return key0[order], key1[order], y0[order], y1[order], direction[order]
+
+
+@dataclass
+class _Bucket:
+    start: int
+    end: int
+
+
+def _bucket_runs(key0: np.ndarray, key1: np.ndarray) -> list[_Bucket]:
+    if len(key0) == 0:
+        return []
+    change = np.flatnonzero((key0[1:] != key0[:-1]) | (key1[1:] != key1[:-1])) + 1
+    bounds = np.concatenate([[0], change, [len(key0)]])
+    return [_Bucket(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                  chunk: int = 1, total_chunk: int = 1,
+                  rid_pairs: dict | None = None) -> np.ndarray:
+    """Detect overlaps for one hash shard; returns OVLP_DTYPE records.
+
+    Sequential accept semantics per bucket mirror shimmer_to_overlap
+    (src/shmr_overlap.c:52-180); rid_pairs persists across buckets (and can
+    be shared across chunks by the caller for global dedup).
+    """
+    key0, key1, y0a, y1a, dira = build_pairs(
+        idx, db.lengths, chunk, total_chunk,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    rid_pairs = {} if rid_pairs is None else rid_pairs
+    lengths = db.lengths
+    offsets = db.offsets
+    data = db.data
+    fuzz = cfg.read_end_fuzz
+    out: list[tuple] = []
+
+    for b in _bucket_runs(key0, key1):
+        n = b.end - b.start
+        if n <= 2 or n > cfg.ovlp_upper:
+            continue
+        ys = y0a[b.start:b.end]
+        y1s = y1a[b.start:b.end]
+        dirs = dira[b.start:b.end]
+        pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
+        order = np.argsort(-pos, kind="stable")  # descending position
+        ys, y1s, dirs, pos = ys[order], y1s[order], dirs[order], pos[order]
+
+        contained = np.zeros(n, dtype=bool)
+        for ai in range(n - 2, -1, -1):
+            if contained[ai]:
+                continue
+            rid0 = int(ys[ai] >> np.uint64(32))
+            pos0 = int(pos[ai]) + 1
+            rlen0 = int(lengths[rid0])
+            strand0 = int(dirs[ai])
+            off0 = int(offsets[rid0])
+            overlap_count = 0
+            for ci in range(ai + 1, n):
+                if overlap_count >= cfg.best_n_ovlp:
+                    break
+                if contained[ci]:
+                    continue
+                rid1 = int(ys[ci] >> np.uint64(32))
+                if rid0 == rid1:
+                    continue
+                ridp = (rid0 << 32) | rid1 if rid0 < rid1 else (rid1 << 32) | rid0
+                prev = rid_pairs.get(ridp)
+                if prev is not None:
+                    if prev == OVERLAP:
+                        overlap_count += 1
+                    continue
+                pos1 = int(pos[ci]) + 1
+                rlen1 = int(lengths[rid1])
+                strand1 = int(dirs[ci])
+                off1 = int(offsets[rid1])
+                slen0 = rlen0 - pos0 + pos1
+                slen1 = rlen1
+                q = data[off0 + pos0 - pos1: off0 + rlen0].tobytes()
+                t = data[off1: off1 + rlen1].tobytes()
+                m = ovlp_match(q, strand0, t, strand1, cfg.aln_bw)
+                ok = (m.q_bgn < fuzz and m.t_bgn < fuzz
+                      and (abs(slen0 - m.q_end) < fuzz or abs(slen1 - m.t_end) < fuzz)
+                      and m.q_end > cfg.min_ovlp_aln and m.t_end > cfg.min_ovlp_aln)
+                if ok:
+                    if (abs(rlen0 - (m.q_end - m.q_bgn)) < fuzz * 2
+                            or abs(rlen1 - (m.t_end - m.t_bgn)) < fuzz * 2):
+                        if rlen0 >= rlen1:
+                            rid_pairs[ridp] = CONTAINS
+                            ovlp_type = CONTAINS
+                            contained[ci] = True
+                        else:
+                            rid_pairs[ridp] = CONTAINED
+                            ovlp_type = CONTAINED
+                            contained[ai] = True
+                    else:
+                        overlap_count += 1
+                        rid_pairs[ridp] = OVERLAP
+                        ovlp_type = OVERLAP
+                    out.append((ys[ai], ys[ci], rlen0, rlen1, strand0, strand1,
+                                ovlp_type, m.m_size, m.dist, m.q_bgn, m.q_end,
+                                m.t_bgn, m.t_end, m.t_m_end, m.q_m_end))
+                if contained[ai]:
+                    break
+    return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
+
+
+def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
+    """Convert OVLP records to preads.ovl text rows with per-read forward-
+    strand coordinates (shmr_dedup semantics, src/shmr_dedup.c:32-101)."""
+    seen = set() if seen is None else seen
+    lines = []
+    for o in ovlps:
+        rid0 = int(o["y0"] >> np.uint64(32))
+        rid1 = int(o["y1"] >> np.uint64(32))
+        ridp = (rid0 << 32) | rid1 if rid0 < rid1 else (rid1 << 32) | rid0
+        if ridp in seen:
+            continue
+        seen.add(ridp)
+        pos0 = int((o["y0"] & _U32) >> np.uint64(1)) + 1
+        pos1 = int((o["y1"] & _U32) >> np.uint64(1)) + 1
+        rlen0, rlen1 = int(o["rl0"]), int(o["rl1"])
+        strand0, strand1 = int(o["strand0"]), int(o["strand1"])
+        q_bgn, q_end = int(o["q_bgn"]), int(o["q_end"])
+        t_bgn, t_end = int(o["t_bgn"]), int(o["t_end"])
+        q_bgn -= t_bgn
+        t_bgn = 0
+        if strand0 == 0:
+            a_bgn = (pos0 - pos1) + q_bgn
+            a_end = (pos0 - pos1) + q_end
+        else:
+            a_bgn = rlen0 - (pos0 - pos1) - q_end
+            a_end = rlen0 - (pos0 - pos1) - q_bgn
+        a_bgn = max(a_bgn, 0)
+        a_end = min(a_end, rlen0)
+        if strand1 == 0:
+            b_bgn, b_end = t_bgn, t_end
+        else:
+            b_bgn, b_end = rlen1 - t_end, rlen1 - t_bgn
+        b_bgn = max(b_bgn, 0)
+        b_end = min(b_end, rlen1)
+        m_size, dist = int(o["m_size"]), int(o["dist"])
+        err_est = 100.0 - 100.0 * dist / m_size
+        tname = ("overlap", "contains", "contained")[int(o["ovlp_type"])]
+        out_strand = strand1 if strand0 == 0 else 1 - strand1
+        lines.append(f"{rid0:09d} {rid1:09d} {-m_size} {err_est:0.1f} 0 "
+                     f"{a_bgn} {a_end} {rlen0} {out_strand} {b_bgn} {b_end} "
+                     f"{rlen1} {tname}")
+    return lines

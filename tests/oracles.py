@@ -118,3 +118,68 @@ def mm_reduce(mmers: list[tuple[int, int]], r: int) -> list[tuple[int, int]]:
                 prev_y = my
         offset += 1
     return out
+
+
+def ovlp_match(query: bytes, q_strand: int, target: bytes, t_strand: int,
+               band_tolerance: int) -> dict:
+    """Banded greedy O(ND) overlap confirmation on 4-bit packed sequences
+    (transliteration of reference src/DWmatch.c:66-204)."""
+    q_shift = 4 if q_strand else 0
+    t_shift = 4 if t_strand else 0
+    q_len, t_len = len(query), len(target)
+    max_d = int(0.3 * (q_len + t_len))
+    band_size = band_tolerance * 2
+    V = [0] * (max_d * 2 + 1)
+    U = [0] * (max_d * 2 + 1)
+    ko = max_d
+    rtn = dict(m_size=0, dist=0, q_bgn=0, q_end=0, t_bgn=0, t_end=0,
+               q_m_end=0, t_m_end=0)
+    start = matched = False
+    longest = 0
+    best_m = -1
+    min_k = max_k = 0
+    x = y = 0
+    for d in range(max_d):
+        if max_k - min_k > band_size:
+            break
+        k = min_k
+        while k <= max_k:
+            if k == min_k or (k != max_k and V[k - 1 + ko] < V[k + 1 + ko]):
+                x = V[k + 1 + ko]
+            else:
+                x = V[k - 1 + ko] + 1
+            y = x - k
+            x1 = x
+            while (x < q_len and y < t_len and
+                   ((query[x] >> q_shift) & 0x0F) == ((target[y] >> t_shift) & 0x0F)):
+                x += 1
+                y += 1
+            if x - x1 > 16 and not start:
+                rtn["q_bgn"], rtn["t_bgn"] = x1, y - (x - x1)
+                start = True
+            if x - x1 > longest:
+                longest = x - x1
+                rtn["q_m_end"], rtn["t_m_end"] = x, y
+            V[k + ko] = x
+            U[k + ko] = x + y
+            if x + y > best_m:
+                best_m = x + y
+            if x >= q_len or y >= t_len:
+                matched = True
+                break
+            k += 2
+        new_min_k, new_max_k = max_k, min_k
+        for k2 in range(min_k, max_k + 1, 2):
+            if U[k2 + ko] >= best_m - band_tolerance:
+                new_min_k = min(new_min_k, k2)
+                new_max_k = max(new_max_k, k2)
+        max_k = new_max_k + 1
+        min_k = new_min_k - 1
+        if matched:
+            rtn["q_end"], rtn["t_end"], rtn["dist"] = x, y, d
+            rtn["m_size"] = (rtn["q_end"] - rtn["q_bgn"]
+                             + rtn["t_end"] - rtn["t_bgn"] + 2 * d) // 2
+            break
+    if not matched:
+        rtn["q_bgn"] = rtn["t_bgn"] = 0
+    return rtn

@@ -1,0 +1,126 @@
+import numpy as np
+
+from peregrine_tpu.config import AsmConfig
+from peregrine_tpu.io.seqdb import SeqDB
+from peregrine_tpu.ops.index import build_index
+from peregrine_tpu.ops.overlap import (
+    build_pairs, overlap_chunk, ovlps_to_text,
+)
+from tests.simdata import random_genome, simulate_reads
+
+
+def _cfg():
+    # small-genome scale: smaller windows, shorter min overlap
+    return AsmConfig(k=12, w=24, r=4, levels=2, min_ovlp_aln=300,
+                     sketch_pad_len=8192, sketch_batch=16)
+
+
+def _make(rng, glen=30000, coverage=12.0):
+    genome = random_genome(rng, glen)
+    reads, truth = simulate_reads(rng, genome, read_len=3000, coverage=coverage)
+    db = SeqDB.from_reads(reads)
+    return genome, db, truth
+
+
+def test_build_pairs_properties(rng):
+    cfg = _cfg()
+    _, db, _ = _make(rng)
+    idx = build_index(db, cfg)
+    key0, key1, y0, y1, d = build_pairs(idx, db.lengths,
+                                        mc_lower=cfg.mc_lower,
+                                        mc_upper=cfg.mc_upper)
+    assert len(key0) > 0
+    # sorted by composite key
+    comp = list(zip(key0.tolist(), key1.tolist()))
+    assert comp == sorted(comp)
+    # every record pairs positions >= 100 apart in the same read
+    p0 = (y0 >> np.uint64(1)) & np.uint64(0xFFFFFFF)
+    p1 = (y1 >> np.uint64(1)) & np.uint64(0xFFFFFFF)
+    same = (y0 >> np.uint64(32)) == (y1 >> np.uint64(32))
+    assert same.all()
+    fwd = d == 0
+    assert (p1[fwd] - p0[fwd] >= 100).all()
+    # reverse records mirror forward ones with both strands flipped
+    rev = d == 1
+    assert rev.sum() > 0
+    assert ((y0[rev] ^ y1[rev]) != 0).all()
+    # reverse pair positions are within read bounds
+    rl = db.lengths[(y0[rev] >> np.uint64(32)).astype(np.int64)]
+    assert (p0[rev].astype(np.int64) < rl).all()
+
+
+def test_pair_sharding_partitions(rng):
+    cfg = _cfg()
+    _, db, _ = _make(rng)
+    idx = build_index(db, cfg)
+    full = build_pairs(idx, db.lengths)
+    parts = [build_pairs(idx, db.lengths, chunk=c, total_chunk=3)
+             for c in (1, 2, 3)]
+    assert sum(len(p[0]) for p in parts) == len(full[0])
+    allrec = sorted(
+        (int(a), int(b), int(c), int(dd), int(e))
+        for p in parts
+        for a, b, c, dd, e in zip(*p))
+    fullrec = sorted(
+        (int(a), int(b), int(c), int(dd), int(e))
+        for a, b, c, dd, e in zip(*full))
+    assert allrec == fullrec
+
+
+def test_overlap_chunk_finds_true_overlaps(rng):
+    cfg = _cfg()
+    genome, db, truth = _make(rng)
+    idx = build_index(db, cfg)
+    ovlps = overlap_chunk(db, idx, cfg)
+    assert len(ovlps) > 0
+
+    # precision: every reported overlap pair truly overlaps >= 300bp
+    bad = 0
+    for o in ovlps:
+        r0 = int(o["y0"] >> np.uint64(32))
+        r1 = int(o["y1"] >> np.uint64(32))
+        s0, e0, _ = truth[r0]
+        s1, e1, _ = truth[r1]
+        if min(e0, e1) - max(s0, s1) < 300:
+            bad += 1
+    assert bad <= max(1, len(ovlps) // 50)
+
+    # sensitivity: most truly-contained/overlapping pairs with >=1.5kb overlap
+    # that share index anchors should be found; check a weaker global bound
+    n_true = 0
+    for i in range(len(truth)):
+        for j in range(i + 1, len(truth)):
+            s0, e0, _ = truth[i]
+            s1, e1, _ = truth[j]
+            if min(e0, e1) - max(s0, s1) >= 2000:
+                n_true += 1
+    found_pairs = {(min(int(o["y0"] >> np.uint64(32)), int(o["y1"] >> np.uint64(32))),
+                    max(int(o["y0"] >> np.uint64(32)), int(o["y1"] >> np.uint64(32))))
+                   for o in ovlps}
+    # bestn caps per-read extension; require a healthy fraction
+    assert len(found_pairs) >= n_true * 0.2
+
+
+def test_ovlps_to_text_format(rng):
+    cfg = _cfg()
+    _, db, _ = _make(rng, glen=20000, coverage=10.0)
+    idx = build_index(db, cfg)
+    ovlps = overlap_chunk(db, idx, cfg)
+    lines = ovlps_to_text(ovlps)
+    assert len(lines) > 0
+    for ln in lines[:50]:
+        f = ln.split()
+        assert len(f) == 13
+        assert len(f[0]) == 9 and len(f[1]) == 9  # %09d rids
+        assert int(f[2]) < 0                      # -m_size
+        assert 0 < float(f[3]) <= 100.0           # err_est
+        assert f[4] == "0"
+        a_bgn, a_end, rl0 = int(f[5]), int(f[6]), int(f[7])
+        b_bgn, b_end, rl1 = int(f[9]), int(f[10]), int(f[11])
+        assert 0 <= a_bgn < a_end <= rl0
+        assert 0 <= b_bgn < b_end <= rl1
+        assert f[8] in ("0", "1")
+        assert f[12] in ("overlap", "contains", "contained")
+    # dedup: one line per rid pair
+    pairs = [(ln.split()[0], ln.split()[1]) for ln in lines]
+    assert len(pairs) == len({tuple(sorted(p)) for p in pairs})
