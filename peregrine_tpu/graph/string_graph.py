@@ -1,0 +1,421 @@
+"""String graph construction and edge classification (host phase).
+
+Faithful re-implementation of the reference layout engine's first stage
+(py/scripts/ovlp_to_graph.py:63-908): overlaps -> dual string-graph edges
+(4 geometry cases) -> transitive reduction -> chimer / spur marking ->
+best-overlap (or local-flow-consistency) knot resolution.
+
+Where the reference iterates CPython sets (whose order depends on
+PYTHONHASHSEED), this implementation uses insertion-ordered containers, so
+results are deterministic run-to-run; the reference's own output is
+hash-order dependent, and parity is judged at the contig/dnadiff level
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .digraph import DiGraph
+
+
+def reverse_end(name: str) -> str:
+    """Flip a node between read ends: '000000012:B' <-> '000000012:E'."""
+    if name == "NA":
+        return name
+    rid, end = name.split(":")
+    return f"{rid}:{'B' if end == 'E' else 'E'}"
+
+
+def reverse_edge(e: tuple[str, str]) -> tuple[str, str]:
+    return reverse_end(e[1]), reverse_end(e[0])
+
+
+@dataclass
+class SgEdge:
+    label: tuple        # (rid, begin, end) — the read segment this edge spells
+    length: int
+    score: int
+    identity: float
+
+
+class StringGraph:
+    """Dual string graph over read-end nodes with reduction marks."""
+
+    def __init__(self):
+        self.out_edges: dict[str, list[tuple[str, str]]] = {}
+        self.in_edges: dict[str, list[tuple[str, str]]] = {}
+        self.edges: dict[tuple[str, str], SgEdge] = {}
+        self.e_reduce: dict[tuple[str, str], bool] = {}
+        self.best_out: dict[str, str] = {}
+        self.best_in: dict[str, str] = {}
+
+    # --- construction ---------------------------------------------------
+    def add_edge(self, v: str, w: str, label, length: int, score: int,
+                 identity: float) -> None:
+        key = (v, w)
+        if key not in self.edges:
+            self.out_edges.setdefault(v, []).append(key)
+            self.in_edges.setdefault(w, []).append(key)
+            self.out_edges.setdefault(w, [])
+            self.in_edges.setdefault(v, [])
+        self.edges[key] = SgEdge(label, length, score, identity)
+
+    def init_reduce(self) -> None:
+        for e in self.edges:
+            self.e_reduce[e] = False
+
+    def _live_out(self, v: str) -> list[tuple[str, str]]:
+        return [e for e in self.out_edges.get(v, []) if not self.e_reduce[e]]
+
+    def _live_in(self, v: str) -> list[tuple[str, str]]:
+        return [e for e in self.in_edges.get(v, []) if not self.e_reduce[e]]
+
+    # --- transitive reduction (Myers; reference ovlp_to_graph.py:223-281)
+    def mark_tr_edges(self, fuzz: int = 500) -> None:
+        mark = {n: 0 for n in self.out_edges}  # 0 vacant / 1 inplay / 2 eliminated
+
+        for v in self.out_edges:
+            oes = self.out_edges[v]
+            if not oes:
+                continue
+            oes.sort(key=lambda e: self.edges[e].length)
+            for e in oes:
+                mark[e[1]] = 1
+            max_len = self.edges[oes[-1]].length + fuzz
+
+            for e in oes:
+                e_len = self.edges[e].length
+                w = e[1]
+                if mark[w] == 1:
+                    w_oes = self.out_edges[w]
+                    w_oes.sort(key=lambda e2: self.edges[e2].length)
+                    for e2 in w_oes:
+                        if self.edges[e2].length + e_len < max_len and mark[e2[1]] == 1:
+                            mark[e2[1]] = 2
+
+            for e in oes:
+                w = e[1]
+                w_oes = self.out_edges[w]
+                w_oes.sort(key=lambda e2: self.edges[e2].length)
+                if w_oes:
+                    x = w_oes[0][1]
+                    if mark[x] == 1:
+                        mark[x] = 2
+                for e2 in w_oes:
+                    if self.edges[e2].length < fuzz and mark[e2[1]] == 1:
+                        mark[e2[1]] = 2
+
+            for e in oes:
+                w = e[1]
+                if mark[w] == 2:
+                    self.e_reduce[e] = True
+                    self.e_reduce[reverse_edge(e)] = True
+                mark[w] = 0
+
+    # --- chimer removal (reference ovlp_to_graph.py:107-195) -------------
+    def _bfs_nodes(self, n: str, exclude: str | None, depth: int = 5) -> set[str]:
+        # NOTE: mirrors the reference's quirk of expanding ONE candidate per
+        # depth step (ovlp_to_graph.py:113-123), so exploration is shallow.
+        all_nodes = {n}
+        candidates = {n: None}  # ordered set
+        dp = 1
+        while dp < depth and candidates:
+            v, _ = candidates.popitem()
+            for e in self.out_edges.get(v, []):
+                w = e[1]
+                if w == exclude or w in all_nodes:
+                    continue
+                all_nodes.add(w)
+                if self.out_edges.get(w):
+                    candidates[w] = None
+            dp += 1
+        return all_nodes
+
+    def mark_chimer_edges(self) -> tuple[list[str], set]:
+        multi_out: dict[str, list[str]] = {}
+        multi_in: dict[str, list[str]] = {}
+        for n in self.out_edges:
+            outs = [e[1] for e in self._live_out(n)]
+            ins = [e[0] for e in self._live_in(n)]
+            if len(outs) >= 2:
+                multi_out[n] = outs
+            if len(ins) >= 2:
+                multi_in[n] = ins
+
+        out_set: dict[str, None] = {}
+        in_set: dict[str, None] = {}
+        for outs in multi_out.values():
+            for w in outs:
+                out_set[w] = None
+        for ins in multi_in.values():
+            for w in ins:
+                in_set[w] = None
+        candidates = [n for n in out_set if n in in_set]
+
+        chimer_nodes: list[str] = []
+        chimer_edges: set = set()
+        for n in candidates:
+            out_nodes = {e[1] for e in self.out_edges.get(n, [])}
+            test_set: set[str] = set()
+            for in_node in (e[0] for e in self.in_edges.get(n, [])):
+                test_set |= {e[1] for e in self.out_edges.get(in_node, [])}
+            test_set -= {n}
+            if out_nodes & test_set:
+                continue
+            flow1: set[str] = set()
+            flow2: set[str] = set()
+            for v in out_nodes:
+                flow1 |= self._bfs_nodes(v, exclude=n)
+            for v in test_set:
+                flow2 |= self._bfs_nodes(v, exclude=n)
+            if flow1 & flow2:
+                continue
+            for e in self.out_edges.get(n, []) + self.in_edges.get(n, []):
+                if not self.e_reduce[e]:
+                    self.e_reduce[e] = True
+                    chimer_edges.add(e)
+                    re = reverse_edge(e)
+                    self.e_reduce[re] = True
+                    chimer_edges.add(re)
+            chimer_nodes.append(n)
+            chimer_nodes.append(reverse_end(n))
+        return chimer_nodes, chimer_edges
+
+    # --- spur removal (reference ovlp_to_graph.py:197-221) ---------------
+    def mark_spur_edge(self) -> set:
+        removed: set = set()
+        for v in self.out_edges:
+            if len(self._live_out(v)) > 1:
+                for e in self.out_edges[v]:
+                    w = e[1]
+                    if not self.out_edges.get(w) and not self.e_reduce[e]:
+                        self.e_reduce[e] = True
+                        removed.add(e)
+                        re = reverse_edge(e)
+                        self.e_reduce[re] = True
+                        removed.add(re)
+            if len(self._live_in(v)) > 1:
+                for e in self.in_edges[v]:
+                    w = e[0]
+                    if not self.in_edges.get(w) and not self.e_reduce[e]:
+                        self.e_reduce[e] = True
+                        removed.add(e)
+                        re = reverse_edge(e)
+                        self.e_reduce[re] = True
+                        removed.add(re)
+        return removed
+
+    # --- best-overlap knot resolution (reference ovlp_to_graph.py:283-325)
+    def mark_best_overlap(self) -> set:
+        best_edges: set = set()
+        removed: set = set()
+        for v in self.out_edges:
+            oes = sorted(self.out_edges[v], key=lambda e: -self.edges[e].score)
+            for e in oes:
+                if not self.e_reduce[e]:
+                    best_edges.add(e)
+                    self.best_out[v] = e[1]
+                    break
+            ies = sorted(self.in_edges.get(v, []),
+                         key=lambda e: -self.edges[e].score)
+            for e in ies:
+                if not self.e_reduce[e]:
+                    best_edges.add(e)
+                    self.best_in[v] = e[0]
+                    break
+        for e in self.edges:
+            if not self.e_reduce[e] and e not in best_edges:
+                self.e_reduce[e] = True
+                removed.add(e)
+                re = reverse_edge(e)
+                self.e_reduce[re] = True
+                removed.add(re)
+        return removed
+
+    # --- local-flow-consistency alternative (reference :327-413) ---------
+    def resolve_repeat_edges(self) -> set:
+        to_reduce = []
+        test_nodes: dict[str, None] = {}
+        for v in self.out_edges:
+            if len(self._live_out(v)) == 1 and len(self._live_in(v)) == 1:
+                test_nodes[v] = None
+
+        for v_n in list(test_nodes):
+            out_nodes = [e[1] for e in self._live_out(v_n)]
+            in_nodes = [e[0] for e in self._live_in(v_n)]
+
+            in_node = in_nodes[0]
+            for e in self.out_edges.get(in_node, []):
+                vv, ww = e
+                ww_out_nodes = {x[1] for x in self.out_edges.get(ww, [])}
+                v_out_nodes = {x[1] for x in self.out_edges.get(v_n, [])}
+                ww_in_live = len(self._live_in(ww))
+                if (ww != v_n and not self.e_reduce[(vv, ww)]
+                        and ww_in_live > 1 and ww not in test_nodes
+                        and not (ww_out_nodes & v_out_nodes)):
+                    to_reduce.append((vv, ww))
+
+            out_node = out_nodes[0]
+            for e in self.in_edges.get(out_node, []):
+                vv, ww = e
+                vv_in_nodes = {x[0] for x in self.in_edges.get(vv, [])}
+                v_in_nodes = {x[0] for x in self.in_edges.get(v_n, [])}
+                vv_out_live = len(self._live_out(vv))
+                if (vv != v_n and not self.e_reduce[(vv, ww)]
+                        and vv_out_live > 1 and vv not in test_nodes
+                        and not (vv_in_nodes & v_in_nodes)):
+                    to_reduce.append((vv, ww))
+
+        removed: set = set()
+        for e in to_reduce:
+            self.e_reduce[e] = True
+            removed.add(e)
+        return removed
+
+
+@dataclass
+class GraphResult:
+    sg: StringGraph
+    live: DiGraph                       # the surviving ("G") string graph
+    edge_data: dict[tuple[str, str], tuple]
+    chimer_nodes: list[str] = field(default_factory=list)
+    sg_edge_lines: list[str] = field(default_factory=list)
+
+
+def parse_overlap_line(line: str):
+    f = line.split()
+    return f
+
+
+def generate_string_graph(overlap_lines, min_len: int = 4000,
+                          min_idt: float = 96.0, lfc: bool = False,
+                          disable_chimer_bridge_removal: bool = False) -> GraphResult:
+    """Overlaps -> classified string graph (reference ovlp_to_graph.py:658-908).
+
+    overlap_lines: iterable of preads.ovl rows (13 columns,
+    src/shmr_dedup.c:93-99); a leading '-' line terminates input.
+    """
+    contained: set[str] = set()
+    overlap_data = []
+    for line in overlap_lines:
+        if line.startswith("-"):
+            break
+        f = line.split()
+        f_id, g_id = f[0], f[1]
+        if f_id == g_id:
+            continue
+        typ = f[12]
+        if typ == "contained":
+            contained.add(f_id)
+            continue
+        if typ == "contains":
+            contained.add(g_id)
+            continue
+        if typ == "none":
+            continue
+        score = int(f[2])
+        identity = float(f[3])
+        if identity < min_idt:
+            continue
+        f_strand, f_start, f_end, f_len = (int(c) for c in f[4:8])
+        g_strand, g_start, g_end, g_len = (int(c) for c in f[8:12])
+        if f_len < min_len or g_len < min_len:
+            continue
+        overlap_data.append((f_id, g_id, score, identity,
+                             f_strand, f_start, f_end, f_len,
+                             g_strand, g_start, g_end, g_len))
+
+    sg = StringGraph()
+    seen_pairs: set[tuple[str, str]] = set()
+    for od in overlap_data:
+        f_id, g_id, score, identity = od[:4]
+        if f_id in contained or g_id in contained:
+            continue
+        _, f_b, f_e, f_l = od[4:8]
+        g_s, g_b, g_e, g_l = od[8:12]
+        pair = (f_id, g_id) if f_id < g_id else (g_id, f_id)
+        if pair in seen_pairs:
+            continue
+        seen_pairs.add(pair)
+
+        if g_s == 1:
+            g_b, g_e = g_e, g_b
+
+        # four overlap geometries (reference ovlp_to_graph.py:772-841);
+        # f is implicitly forward (the overlapper normalizes strand 0 for f)
+        if f_b > 0:
+            if g_b < g_e:
+                #  f  ----------->          g overhangs right
+                #  g        ------------->
+                if f_b == 0 or g_e - g_l == 0:
+                    continue
+                sg.add_edge(f"{g_id}:B", f"{f_id}:B", (f_id, f_b, 0),
+                            abs(f_b), -score, identity)
+                sg.add_edge(f"{f_id}:E", f"{g_id}:E", (g_id, g_e, g_l),
+                            abs(g_e - g_l), -score, identity)
+            else:
+                #  f  ----------->
+                #  g        <-------------
+                if f_b == 0 or g_e == 0:
+                    continue
+                sg.add_edge(f"{g_id}:E", f"{f_id}:B", (f_id, f_b, 0),
+                            abs(f_b), -score, identity)
+                sg.add_edge(f"{f_id}:E", f"{g_id}:B", (g_id, g_e, 0),
+                            abs(g_e), -score, identity)
+        else:
+            if g_b < g_e:
+                #  f          ----------->
+                #  g   ------------->
+                if g_b == 0 or f_e - f_l == 0:
+                    continue
+                sg.add_edge(f"{f_id}:B", f"{g_id}:B", (g_id, g_b, 0),
+                            abs(g_b), -score, identity)
+                sg.add_edge(f"{g_id}:E", f"{f_id}:E", (f_id, f_e, f_l),
+                            abs(f_e - f_l), -score, identity)
+            else:
+                #  f          ----------->
+                #  g   <-------------
+                if g_b - g_l == 0 or f_e - f_l == 0:
+                    continue
+                sg.add_edge(f"{f_id}:B", f"{g_id}:E", (g_id, g_b, g_l),
+                            abs(g_b - g_l), -score, identity)
+                sg.add_edge(f"{g_id}:B", f"{f_id}:E", (f_id, f_e, f_l),
+                            abs(f_e - f_l), -score, identity)
+
+    sg.init_reduce()
+    sg.mark_tr_edges()
+
+    chimer_nodes: list[str] = []
+    chimer_edges: set = set()
+    if not disable_chimer_bridge_removal:
+        chimer_nodes, chimer_edges = sg.mark_chimer_edges()
+
+    spur_edges = sg.mark_spur_edge()
+    removed_edges = sg.resolve_repeat_edges() if lfc else sg.mark_best_overlap()
+    spur_edges.update(sg.mark_spur_edge())
+
+    live = DiGraph()
+    edge_data: dict[tuple[str, str], tuple] = {}
+    lines: list[str] = []
+    for (v, w), e in sg.edges.items():
+        rid, sp, tp = e.label
+        length = abs(sp - tp)
+        if not sg.e_reduce[(v, w)]:
+            type_ = "G"
+            live.add_edge(v, w, length=length, score=e.score)
+            edge_data[(v, w)] = (rid, sp, tp, length, e.score, e.identity, type_)
+            if w in sg.best_in:
+                live.node_attr[w]["best_in"] = v
+        elif (v, w) in chimer_edges:
+            type_ = "C"
+        elif (v, w) in removed_edges:
+            type_ = "R"
+        elif (v, w) in spur_edges:
+            type_ = "S"
+        else:
+            type_ = "TR"
+        lines.append("%s %s %s %5d %5d %5d %5.2f %s" % (
+            v, w, rid, sp, tp, e.score, e.identity, type_))
+
+    return GraphResult(sg, live, edge_data, chimer_nodes, lines)

@@ -1,0 +1,146 @@
+"""Assembly pipeline orchestrator (the reference's pg_run.py equivalent).
+
+Stages mirror the reference workflow (py/scripts/pg_run.py:571-634) with
+file-checkpointed outputs in the reference's directory layout, so any stage
+can be inspected, resumed, or cross-validated against reference tools:
+
+    0-seqdb/   seq_dataset.seqdb + .idx
+    1-index/   shmr-L{level}-*.dat + MC files
+    2-ovlp/    preads.ovl
+    3-asm/     sg_edges_list, utg_data, ctg_paths, p_ctg_tiling_path, p_ctg.fa
+    4-cns/     p_ctg_cns.fa  (consensus stage)
+
+Unlike the reference (pypeflow DAG of bash tasks over N processes), stages
+here run in-process: the sketch/index path executes as batched device
+kernels, overlap confirmation through the native aligner, layout on host.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..config import AsmConfig
+from ..graph.contig import tiling_to_contigs
+from ..graph.layout import assemble_graph
+from ..graph.string_graph import generate_string_graph
+from ..graph.tiling import tiling_paths
+from ..io.seqdb import SeqDB
+from ..ops.index import ShimmerIndex, build_index
+from ..ops.overlap import overlap_chunk, ovlps_to_text
+
+log = logging.getLogger("peregrine_tpu")
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _write_lines(path: str, lines) -> None:
+    with open(path, "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+
+
+class Assembly:
+    """Driver holding per-stage state; file outputs double as checkpoints."""
+
+    def __init__(self, outdir: str, cfg: AsmConfig = AsmConfig()):
+        self.outdir = outdir
+        self.cfg = cfg
+        for d in ("0-seqdb", "1-index", "2-ovlp", "3-asm", "4-cns"):
+            os.makedirs(os.path.join(outdir, d), exist_ok=True)
+        with open(os.path.join(outdir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        self.db: SeqDB | None = None
+        self.idx: ShimmerIndex | None = None
+
+    # --- stage 0: sequence database ------------------------------------
+    def build_db(self, reads=None, reads_list: str | None = None) -> SeqDB:
+        prefix = os.path.join(self.outdir, "0-seqdb", "seq_dataset")
+        if _stage_done(prefix + ".idx") and reads is None:
+            self.db = SeqDB.open(prefix)
+        else:
+            t0 = time.time()
+            self.db = (SeqDB.from_file_list(reads_list) if reads is None
+                       else SeqDB.from_reads(reads))
+            self.db.save(prefix)
+            log.info("stage 0 seqdb: %d reads, %d bases (%.1fs)",
+                     len(self.db), int(self.db.lengths.sum()), time.time() - t0)
+        return self.db
+
+    # --- stage 1: SHIMMER index ----------------------------------------
+    def build_shimmer_index(self) -> ShimmerIndex:
+        prefix = os.path.join(self.outdir, "1-index", "shmr")
+        level = self.cfg.levels
+        mm = f"{prefix}-L{level}-01-of-01.dat"
+        mc = f"{prefix}-L{level}-MC-01-of-01.dat"
+        if _stage_done(mm):
+            self.idx = ShimmerIndex.load_chunks([mm], [mc])
+        else:
+            t0 = time.time()
+            self.idx = build_index(self.db, self.cfg)
+            self.idx.save(prefix, level=level)
+            log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs)",
+                     len(self.idx.x), len(self.idx.mc_hash), time.time() - t0)
+        return self.idx
+
+    # --- stage 2: overlaps ---------------------------------------------
+    def build_overlaps(self) -> str:
+        path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
+        if not _stage_done(path):
+            t0 = time.time()
+            ovlps = overlap_chunk(self.db, self.idx, self.cfg)
+            lines = ovlps_to_text(ovlps)
+            _write_lines(path, lines + ["-"])
+            log.info("stage 2 overlap: %d records -> %d rows (%.1fs)",
+                     len(ovlps), len(lines), time.time() - t0)
+        return path
+
+    # --- stage 3: layout + draft contigs --------------------------------
+    def build_contigs(self) -> str:
+        asm = os.path.join(self.outdir, "3-asm")
+        fa = os.path.join(asm, "p_ctg.fa")
+        if _stage_done(fa):
+            return fa
+        t0 = time.time()
+        with open(os.path.join(self.outdir, "2-ovlp", "preads.ovl")) as f:
+            result = generate_string_graph(
+                f, min_len=self.cfg.min_len, min_idt=self.cfg.min_idt,
+                lfc=self.cfg.lfc,
+                disable_chimer_bridge_removal=self.cfg.disable_chimer_bridge_removal)
+        _write_lines(os.path.join(asm, "sg_edges_list"), result.sg_edge_lines)
+        _write_lines(os.path.join(asm, "chimers_nodes"), result.chimer_nodes)
+
+        u_edge_data, ctg_rows, utg_rows, compound_rows = assemble_graph(result)
+        _write_lines(os.path.join(asm, "utg_data"), utg_rows)
+        _write_lines(os.path.join(asm, "ctg_paths"), ctg_rows)
+        _write_lines(os.path.join(asm, "c_path"), compound_rows)
+
+        p_lines, a_lines = tiling_paths(result.sg_edge_lines, utg_rows, ctg_rows)
+        _write_lines(os.path.join(asm, "p_ctg_tiling_path"), p_lines)
+        _write_lines(os.path.join(asm, "a_ctg_tiling_path"), a_lines)
+
+        contigs = tiling_to_contigs(self.db, p_lines)
+        with open(fa, "w") as f:
+            for name, seq in contigs:
+                f.write(f">{name}\n{seq.decode()}\n")
+        log.info("stage 3 layout: %d contigs, %d bases (%.1fs)",
+                 len(contigs), sum(len(s) for _, s in contigs), time.time() - t0)
+        return fa
+
+    def run_draft(self, reads=None, reads_list: str | None = None) -> str:
+        """Stages 0-3: reads -> draft p_ctg.fa."""
+        self.build_db(reads, reads_list)
+        self.build_shimmer_index()
+        self.build_overlaps()
+        return self.build_contigs()
+
+
+def assemble(reads=None, reads_list: str | None = None, outdir: str = "./wd",
+             cfg: AsmConfig = AsmConfig()) -> str:
+    """One-call draft assembly; returns the p_ctg.fa path."""
+    return Assembly(outdir, cfg).run_draft(reads, reads_list)
