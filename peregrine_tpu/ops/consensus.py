@@ -1,0 +1,229 @@
+"""FALCON-style alignment-tag-pileup consensus.
+
+Re-implementation of the reference consensus core (falcon/falcon.c) and its
+driver (py/scripts/pg_asm_cns.py): reads mapped to a draft contig are
+aligned to ≤100 kb template windows; each alignment contributes per-column
+tags (t_pos, delta, base) with predecessor links; the consensus is the
+max-weight path through the implied partial-order graph, scored
+count − 0.5·(coverage−1) per edge (falcon/falcon.c:143-209).
+
+The pileup is dict-based on host for correctness; the batched dense-tensor
+device version (scatter-add + scan DP) plugs in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import AsmConfig
+from ..io.seqdb import SeqDB, decode_biseq
+from ..native import dw_align
+
+_SENTINEL = (-1, 0, ord("."))
+
+
+def get_align_tags(q_aln: bytes, t_aln: bytes, s1: int, s2: int,
+                   t_offset: int = 0):
+    """Alignment strings -> per-column tag list
+    [(t_pos, delta, q_base, p_t_pos, p_delta, p_q_base)]
+    (reference falcon/falcon.c:67-122)."""
+    tags = []
+    i = s1 - 1
+    j = s2 - 1
+    jj = 0
+    p_j, p_jj, p_q = -1, 0, ord(".")
+    dash = ord("-")
+    for qb, tb in zip(q_aln, t_aln):
+        if qb != dash:
+            i += 1
+            jj += 1
+        if tb != dash:
+            j += 1
+            jj = 0
+        if j + t_offset >= 0 and jj < 255 and p_jj < 255:
+            tags.append((j + t_offset, jj, qb, p_j + t_offset, p_jj, p_q))
+            p_j, p_jj, p_q = j, jj, qb
+        else:
+            break
+    return tags
+
+
+def cns_from_tags(tag_lists, t_len: int, min_cov: int) -> bytes:
+    """Tag pileup -> consensus sequence (reference falcon/falcon.c:277-397).
+
+    Edge counts accumulate per (ctag -> ptag); the DP walks ctags in
+    ascending (t_pos, delta, base) key order so predecessors are final.
+    """
+    coverage = np.zeros(t_len + 1, np.int32)
+    edge_count: dict[tuple, dict[tuple, int]] = {}
+
+    for tags in tag_lists:
+        started = False
+        for t_pos, delta, q_base, p_t_pos, p_delta, p_q_base in tags:
+            # skip leading deletion columns (reference falcon.c:304-310)
+            if not started and p_q_base == ord("-"):
+                continue
+            started = True
+            ctag = (t_pos, delta, q_base)
+            ptag = (p_t_pos, p_delta, p_q_base)
+            d = edge_count.setdefault(ctag, {})
+            d[ptag] = d.get(ptag, 0) + 1
+            if delta == 0:
+                coverage[t_pos] += 1
+
+    best_score: dict[tuple, float] = {}
+    best_edge: dict[tuple, tuple] = {}
+    global_best = 0.0
+    global_best_node = None
+
+    # predecessor order mirrors the reference's uint64 key sort, where the
+    # sentinel (t_pos = -1) wraps to 0xFFFFFFFF and sorts last
+    def _pkey(p):
+        return (p[0] & 0xFFFFFFFF, p[1], p[2])
+
+    for ctag in sorted(edge_count):
+        t_pos = ctag[0]
+        for ptag in sorted(edge_count[ctag], key=_pkey):
+            count = edge_count[ctag][ptag]
+            score = count - 0.5 * (coverage[t_pos] - 1)
+            if ctag not in best_score:
+                best_score[ctag] = score
+                best_edge[ctag] = ptag
+            if ptag[2] == ord("."):
+                continue
+            if ptag not in best_score:
+                continue
+            new_score = score + best_score[ptag]
+            if new_score > best_score[ctag]:
+                best_score[ctag] = new_score
+                best_edge[ctag] = ptag
+                if new_score > global_best:
+                    global_best = new_score
+                    global_best_node = ctag
+
+    if global_best_node is None:
+        return b""
+
+    out = bytearray()
+    node = global_best_node
+    while True:
+        t_pos, _, q_base = node
+        if q_base != ord("-"):
+            if coverage[t_pos] > min_cov:
+                out.append(q_base)
+            else:
+                out.append(ord(chr(q_base).lower()))
+        ptag = best_edge.get(node)
+        if ptag is None or ptag[2] == ord("."):
+            break
+        node = ptag
+    out.reverse()
+    return bytes(out)
+
+
+def _window_groups(mapped_rows: np.ndarray, ref_len: int,
+                   grow: int = 50000, cap: int = 100000):
+    """Split a contig's sorted mapping rows into consensus windows
+    (reference pg_asm_cns.py:68-98)."""
+    groups = []
+    left = 1000
+    group: list[np.ndarray] = []
+    for row in mapped_rows:
+        p1 = int(row[1])
+        if p1 - left < grow:
+            group.append(row)
+        else:
+            groups.append([left, p1, group] if p1 - left < cap
+                          else [left, p1, []])
+            group = []
+            left = p1
+    if ref_len - left < cap:
+        if ref_len - left > 1000:
+            groups.append([left, ref_len, group])
+        elif groups:
+            groups[-1][1] = ref_len
+            groups[-1][2].extend(group)
+        else:
+            groups.append([left, ref_len, []])
+    else:
+        groups.append([left, ref_len, []])
+    return groups
+
+
+def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
+                         mapped_rows: np.ndarray, cfg: AsmConfig) -> bytes:
+    """Polish one contig from its read mappings
+    (reference pg_asm_cns.py:68-273)."""
+    ref_len_total = int(ref_db.lengths[ctg_rid])
+    order = np.argsort(mapped_rows[:, 1], kind="stable")
+    rows = mapped_rows[order]
+    groups = _window_groups(rows, ref_len_total)
+
+    segments: list[bytes] = []
+    for left, right, mapped in groups:
+        left = left - 1000
+        assert left >= 0
+        # multiple anchor offsets per (read, strand): keep distinct shifts
+        rmap: dict[tuple[int, int], list[int]] = {}
+        for row in mapped:
+            read_id = int(row[3])
+            read_offset = int(row[1]) - int(row[4])
+            rmap.setdefault((read_id, int(row[6])), []).append(read_offset)
+
+        reads = []
+        for (read_id, strand), offs in rmap.items():
+            offs.sort()
+            cur = offs[0]
+            reads.append((read_id, strand, cur - left))
+            for v in offs:
+                if v > cur + 50:
+                    cur = v
+                    reads.append((read_id, strand, cur - left))
+        reads.sort(key=lambda x: x[2])
+
+        ref_len = right - left
+        ref_seq = decode_biseq(
+            ref_db.packed(ctg_rid)[left:left + ref_len], 0)
+
+        # backbone self-alignment anchors the template
+        # (reference pg_asm_cns.py:152-166)
+        aln = dw_align(ref_seq, ref_seq, 50)
+        tag_lists = [get_align_tags(aln.q_aln_str, aln.t_aln_str,
+                                    aln.aln_q_s, aln.aln_t_s, 0)]
+        aln_base = 0
+        for read_id, strand, shift in reads:
+            read_seq = decode_biseq(read_db.packed(read_id), strand)
+            read_len = len(read_seq)
+            if shift < 0:
+                aln = dw_align(read_seq[-shift:], ref_seq, cfg.cns_aln_band)
+                if abs(abs(aln.aln_q_e - aln.aln_q_s) - (read_len + shift)) < 48:
+                    tag_lists.append(get_align_tags(
+                        aln.q_aln_str, aln.t_aln_str,
+                        aln.aln_q_s, aln.aln_t_s, 0))
+                    aln_base += abs(aln.aln_t_e - aln.aln_t_s)
+            else:
+                aln = dw_align(read_seq, ref_seq[shift:], cfg.cns_aln_band)
+                if (abs(abs(aln.aln_q_e - aln.aln_q_s) - read_len) < 48
+                        or abs(ref_len - shift - abs(aln.aln_q_e - aln.aln_q_s)) < 48):
+                    tag_lists.append(get_align_tags(
+                        aln.q_aln_str, aln.t_aln_str,
+                        aln.aln_q_s, aln.aln_t_s, shift))
+                    aln_base += abs(aln.aln_t_e - aln.aln_t_s)
+
+        if aln_base / max(ref_len, 1) < 3:
+            segments.append(ref_seq.lower())
+        else:
+            segments.append(cns_from_tags(tag_lists, len(ref_seq),
+                                          cfg.cns_min_cov))
+
+    # stitch window segments by aligning tail/head overhangs
+    # (reference pg_asm_cns.py:251-271)
+    s0 = segments[0]
+    stitched = [s0]
+    for s1 in segments[1:]:
+        aln = dw_align(s0[-1000:], s1[:1050], 400)
+        if aln.aln_q_e < 1000:
+            stitched[-1] = stitched[-1][:-(1000 - aln.aln_q_e)]
+        stitched.append(s1[aln.aln_t_e:])
+        s0 = s1
+    return b"".join(stitched)

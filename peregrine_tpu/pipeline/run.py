@@ -28,7 +28,7 @@ from ..graph.contig import tiling_to_contigs
 from ..graph.layout import assemble_graph
 from ..graph.string_graph import generate_string_graph
 from ..graph.tiling import tiling_paths
-from ..io.seqdb import SeqDB
+from ..io.seqdb import SeqDB, read_fastx
 from ..ops.index import ShimmerIndex, build_index
 from ..ops.overlap import overlap_chunk, ovlps_to_text
 
@@ -132,12 +132,48 @@ class Assembly:
                  len(contigs), sum(len(s) for _, s in contigs), time.time() - t0)
         return fa
 
+    # --- stage 4: mapping + consensus polish ----------------------------
+    def build_consensus(self) -> str:
+        from ..ops.consensus import consensus_for_contig
+        from ..ops.mapping import map_reads_to_ref
+
+        cns_dir = os.path.join(self.outdir, "4-cns")
+        out_fa = os.path.join(cns_dir, "p_ctg_cns.fa")
+        if _stage_done(out_fa):
+            return out_fa
+        t0 = time.time()
+        ctg_prefix = os.path.join(cns_dir, "p_ctg")
+        ctg_db = SeqDB.from_reads(
+            read_fastx(os.path.join(self.outdir, "3-asm", "p_ctg.fa")))
+        ctg_db.save(ctg_prefix)
+        ctg_idx = build_index(ctg_db, self.cfg)
+        rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg)
+        np.savetxt(os.path.join(cns_dir, "read_map.txt"), rows, fmt="%d")
+        log.info("stage 4 mapping: %d rows (%.1fs)", len(rows), time.time() - t0)
+
+        with open(out_fa, "w") as f:
+            for ctg_rid in range(len(ctg_db)):
+                sel = rows[rows[:, 0] == ctg_rid] if len(rows) else rows
+                seq = consensus_for_contig(self.db, ctg_db, ctg_rid,
+                                           sel, self.cfg)
+                f.write(f">{ctg_db.names[ctg_rid]}\n{seq.decode()}\n")
+        log.info("stage 4 consensus done (%.1fs)", time.time() - t0)
+        return out_fa
+
     def run_draft(self, reads=None, reads_list: str | None = None) -> str:
         """Stages 0-3: reads -> draft p_ctg.fa."""
         self.build_db(reads, reads_list)
         self.build_shimmer_index()
         self.build_overlaps()
         return self.build_contigs()
+
+    def run(self, reads=None, reads_list: str | None = None,
+            with_consensus: bool = True) -> str:
+        """Full pipeline; returns the final fasta path."""
+        fa = self.run_draft(reads, reads_list)
+        if with_consensus:
+            fa = self.build_consensus()
+        return fa
 
 
 def assemble(reads=None, reads_list: str | None = None, outdir: str = "./wd",
