@@ -7,10 +7,11 @@ emission (src/shmr_reduce.c:53-90).  Its find_minimizer scans ring slots in
 slot (element offset mod r) — a quirk preserved here for output parity.
 
 Vectorized form over per-read compacted arrays [B, C]: the window winner at
-column j is the argmin over the last r entries of the composite key
+column j is selected by an r-step shift tournament on the composite key
 (x with its span byte replaced by the ring slot); ties are impossible
 because slots within one window are distinct.  Applied once for L1, twice
-for L2 (src/shmr_index.c:199,216).
+for L2 (src/shmr_index.c:199,216).  No gathers or scatters: r static
+shifts + where-chains, then one stable sort for compaction.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sketch import INF, _compact
+from .sketch import INF, _shift_right, _sort_compact
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
@@ -41,20 +42,25 @@ def reduce_batch(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
     # composite key: hash in the high 56 bits, ring slot replaces the span byte
     key = (x & ~jnp.uint64(0xFF)) | (col % jnp.uint64(r))
 
-    stack = jnp.stack(
-        [jnp.pad(key, ((0, 0), (d, 0)), constant_values=INF)[:, :C]
-         for d in range(r)], axis=0)                       # [r, B, C]
-    dstar = jnp.argmin(stack, axis=0).astype(jnp.int32)    # [B, C]
-    u = jnp.maximum(jnp.arange(C, dtype=jnp.int32)[None, :] - dstar, 0)
-    wx = jnp.take_along_axis(x, u, axis=1)
-    wy = jnp.take_along_axis(y, u, axis=1)
+    best_key, best_x, best_y = key, x, y
+    for d in range(1, r):
+        kd = _shift_right(key, d, INF)
+        xd = _shift_right(x, d, INF)
+        yd = _shift_right(y, d, INF)
+        win = kd < best_key
+        best_key = jnp.where(win, kd, best_key)
+        best_x = jnp.where(win, xd, best_x)
+        best_y = jnp.where(win, yd, best_y)
 
-    valid = (jnp.arange(C)[None, :] >= (r - 1)) & (jnp.arange(C)[None, :] < count[:, None])
-    prev_wy = jnp.pad(wy, ((0, 0), (1, 0)), constant_values=INF)[:, :C]
+    cols = jnp.arange(C)[None, :]
+    valid = (cols >= (r - 1)) & (cols < count[:, None])
+    prev_y = _shift_right(best_y, 1, INF)
     prev_valid = jnp.pad(valid, ((0, 0), (1, 0)))[:, :C]
-    emit = valid & ((wy != prev_wy) | ~prev_valid)
+    emit = valid & ((best_y != prev_y) | ~prev_valid)
 
-    (ox, oy), ocount = _compact([wx, wy], emit, [INF, INF])
+    ox = jnp.where(emit, best_x, INF)
+    oy = jnp.where(emit, best_y, INF)
+    (ox, oy), ocount = _sort_compact(emit, [ox, oy])
     return ox, oy, ocount
 
 

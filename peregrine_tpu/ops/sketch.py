@@ -4,17 +4,26 @@ The reference computes minimizers with a sequential ring buffer per read
 (src/mm_sketch.c:70-151).  Here the same *output* is produced by a data-
 parallel reformulation over a padded batch of reads [B, L]:
 
-1. per-position rolling k-mers via k shifted adds (XLA fuses these),
+1. per-position rolling k-mers via k shifted adds — computed on *raw*
+   positions (no stream compaction needed: a k-mer is only defined when the
+   run length l >= k, which guarantees its window contains no ambiguous
+   base, so raw-position k-mers equal the reference's gap-skipping rolling
+   registers wherever they are defined),
 2. the minimizer stream (valid, non-strand-symmetric positions plus
-   ambiguous-base placeholders) compacted with cumsum/scatter,
-3. window minima via the block prefix/suffix-min trick (two lax.cummin),
+   ambiguous-base placeholders) compacted with one stable multi-operand
+   sort (TPU scatters serialize; sorts vectorize),
+3. window minima via the block prefix/suffix-min trick (two lax.cummin)
+   combined by static shifts (no gathers),
 4. the emission set derived declaratively:  an entry e is emitted iff it is
    a minimum of some *complete* window (window-end run length
    l >= w+k-1), or it is the held minimum of the final window.
 
-For sequences without ambiguous bases this set — ordered by position — is
-exactly the reference's emission sequence (proved by the tie-handling
-analysis in the module tests; validated against a transliterated oracle).
+For k <= 16 (the pipeline default) k-mers and hashes are 32-bit, keeping
+the hot elementwise path off the TPU's emulated-int64 lane.
+
+For sequences without ambiguous bases this emission set — ordered by
+position — is exactly the reference's emission sequence (validated against
+a transliterated oracle in tests/test_sketch.py).
 Known divergences (both superset-only, order preserved; negligible for
 k=16 real data, validated in tests/test_sketch.py):
   * with ambiguous bases mid-read the reference's emission guard is
@@ -40,19 +49,38 @@ INF = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def hash64(key: jnp.ndarray, mask) -> jnp.ndarray:
-    """Invertible minimizer hash (reference: src/mm_sketch.c:23-32)."""
-    key = (~key + (key << 21)) & mask
-    key = key ^ (key >> 24)
-    key = (key + (key << 3) + (key << 8)) & mask
-    key = key ^ (key >> 14)
-    key = (key + (key << 2) + (key << 4)) & mask
-    key = key ^ (key >> 28)
-    key = (key + (key << 31)) & mask
+    """Invertible minimizer hash (reference: src/mm_sketch.c:23-32).
+
+    Valid in any unsigned dtype whose width is a multiple of the mask
+    width: every step is taken modulo a power of two that the lane width
+    divides evenly.
+    """
+    one = jnp.asarray(1, key.dtype)
+    key = (~key + (key << (21 * one))) & mask
+    key = key ^ (key >> (24 * one))
+    key = (key + (key << (3 * one)) + (key << (8 * one))) & mask
+    key = key ^ (key >> (14 * one))
+    key = (key + (key << (2 * one)) + (key << (4 * one))) & mask
+    key = key ^ (key >> (28 * one))
+    key = (key + (key << (31 * one))) & mask
     return key
 
 
+def _shift_right(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    """a[:, i-n] with fill for i < n (static shift, no gather)."""
+    if n == 0:
+        return a
+    return jnp.pad(a[:, :-n], ((0, 0), (n, 0)), constant_values=fill)
+
+
+def _shift_left(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    if n == 0:
+        return a
+    return jnp.pad(a[:, n:], ((0, 0), (0, n)), constant_values=fill)
+
+
 def _sliding_min_trailing(a: jnp.ndarray, w: int, fill) -> jnp.ndarray:
-    """W[t] = min(a[t-w+1 .. t]), out-of-range entries = fill.  [B, L] -> [B, L]."""
+    """W[t] = min(a[t-w+1 .. t]); out-of-range entries = fill."""
     B, L = a.shape
     nb = -(-L // w)
     P = nb * w
@@ -60,15 +88,12 @@ def _sliding_min_trailing(a: jnp.ndarray, w: int, fill) -> jnp.ndarray:
     blocks = ap.reshape(B, nb, w)
     pref = jax.lax.cummin(blocks, axis=2).reshape(B, P)
     suf = jax.lax.cummin(blocks, axis=2, reverse=True).reshape(B, P)
-    t = jnp.arange(L)
-    s = t - w + 1
-    left = jnp.where(s >= 0, jnp.take(suf, jnp.maximum(s, 0), axis=1),
-                     jnp.asarray(fill, a.dtype))
+    left = _shift_right(suf, w - 1, fill)[:, :L]
     return jnp.minimum(left, pref[:, :L])
 
 
 def _sliding_max_leading(a: jnp.ndarray, w: int, fill) -> jnp.ndarray:
-    """M[t] = max(a[t .. t+w-1]), out-of-range entries = fill.  [B, L] -> [B, L]."""
+    """M[t] = max(a[t .. t+w-1]); out-of-range entries = fill."""
     B, L = a.shape
     nb = -(-L // w)
     P = nb * w
@@ -76,24 +101,18 @@ def _sliding_max_leading(a: jnp.ndarray, w: int, fill) -> jnp.ndarray:
     blocks = ap.reshape(B, nb, w)
     pref = jax.lax.cummax(blocks, axis=2).reshape(B, P)
     suf = jax.lax.cummax(blocks, axis=2, reverse=True).reshape(B, P)
-    t = jnp.arange(L)
-    e = t + w - 1
-    right = jnp.where(e < P, jnp.take(pref, jnp.minimum(e, P - 1), axis=1),
-                      jnp.asarray(fill, a.dtype))
+    right = _shift_left(pref, w - 1, fill)[:, :L]
     return jnp.maximum(suf[:, :L], right)
 
 
-def _compact(values: list[jnp.ndarray], keep: jnp.ndarray, fills) -> tuple[list[jnp.ndarray], jnp.ndarray]:
-    """Stable-compact kept entries to the front of each row; returns counts."""
-    B, L = keep.shape
-    rows = jnp.arange(B)[:, None]
-    ccum = jnp.cumsum(keep, axis=1)
-    dest = jnp.where(keep, ccum - 1, L)  # L = trash slot
-    outs = []
-    for v, fill in zip(values, fills):
-        o = jnp.full((B, L + 1), fill, v.dtype).at[rows, dest].set(v)
-        outs.append(o[:, :L])
-    return outs, ccum[:, -1].astype(jnp.int32)
+def _sort_compact(keep: jnp.ndarray, operands: list[jnp.ndarray]):
+    """Stable-compact kept entries to the row front via one multi-operand
+    sort (scatters serialize on TPU); returns (sorted operands, counts).
+    Dropped entries must already hold their padding value."""
+    flag = (~keep).astype(jnp.uint8)
+    out = jax.lax.sort((flag, *operands), dimension=1, is_stable=True,
+                       num_keys=1)
+    return list(out[1:]), jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "k"))
@@ -113,48 +132,34 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
     """
     assert 0 < w < 256 and 0 < k <= 28
     B, L = codes.shape
-    mask = jnp.uint64((1 << (2 * k)) - 1)
-    rows = jnp.arange(B)[:, None]
+    kdt = jnp.uint32 if k <= 16 else jnp.uint64
+    mask = jnp.asarray((1 << (2 * k)) - 1, kdt)
     pos = jnp.arange(L)[None, :]
 
-    c = codes.astype(jnp.uint32)
-    inlen = pos < lengths[:, None].astype(jnp.int64)
+    c = codes.astype(jnp.int32)
+    inlen = pos < lengths[:, None]
     valid = (c < 4) & inlen
     amb = (c >= 4) & inlen
 
-    # --- rolling k-mers over the valid-compacted stream -------------------
-    (ccode,), _ = _compact([c], valid, [jnp.uint32(0)])
-    cc = ccode.astype(jnp.uint64)
-    fwd = jnp.zeros((B, L), jnp.uint64)
-    rev = jnp.zeros((B, L), jnp.uint64)
+    # --- rolling k-mers on raw positions ---------------------------------
+    cb = (c & 3).astype(kdt)
+    fwd = jnp.zeros((B, L), kdt)
+    rev = jnp.zeros((B, L), kdt)
     for d in range(k):
-        # element u-d, missing entries behave like the zero-initialized
-        # rolling registers: code 0 for fwd, complement bits 0 for rev
-        sh_f = jnp.pad(cc, ((0, 0), (d, 0)))[:, :L]
-        sh_r = jnp.pad(cc ^ jnp.uint64(3), ((0, 0), (d, 0)))[:, :L]
-        fwd = fwd | (sh_f << jnp.uint64(2 * d))
-        rev = rev | (sh_r << jnp.uint64(2 * (k - 1 - d)))
+        cd = _shift_right(cb, d, jnp.asarray(0, kdt))
+        fwd = fwd | (cd << jnp.asarray(2 * d, kdt))
+        rev = rev | ((cd ^ jnp.asarray(3, kdt)) << jnp.asarray(2 * (k - 1 - d), kdt))
     fwd = fwd & mask
 
-    sym_c = fwd == rev
-    strand_c = jnp.where(fwd < rev, jnp.uint64(0), jnp.uint64(1))
-    canon_c = jnp.minimum(fwd, rev)
-    hash_c = hash64(canon_c, mask)
-
-    # map compact-index results back to original positions
-    vidx = jnp.cumsum(valid, axis=1) - 1
-    gidx = jnp.clip(vidx, 0, L - 1)
-    sym = jnp.take_along_axis(sym_c, gidx, axis=1) & valid
-    strand = jnp.take_along_axis(strand_c, gidx, axis=1)
-    hsh = jnp.take_along_axis(hash_c, gidx, axis=1)
+    sym = (fwd == rev) & valid
+    strand = jnp.where(fwd < rev, 0, 1).astype(jnp.uint64)
+    hsh = hash64(jnp.minimum(fwd, rev), mask).astype(jnp.uint64)
 
     vns = valid & ~sym  # enters the window buffer with a real payload
 
-    # --- run length l: valid non-symmetric entries since last ambiguous ---
-    last_amb = jax.lax.cummax(jnp.where(amb, pos, -1), axis=1)
-    cvns = jnp.cumsum(vns, axis=1)
-    cvns_pad = jnp.pad(cvns, ((0, 0), (1, 0)))  # index shift: [-1] -> 0
-    at_amb = jnp.take_along_axis(cvns_pad, last_amb + 1, axis=1)
+    # --- run length l: valid non-symmetric entries since last ambiguous --
+    cvns = jnp.cumsum(vns, axis=1).astype(jnp.int32)
+    at_amb = jax.lax.cummax(jnp.where(amb, cvns, 0), axis=1)
     l = cvns - at_amb
 
     defined = vns & (l >= k)
@@ -166,30 +171,34 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
         | strand,
         INF)
 
-    # --- compact the buffer stream (placeholders for ambiguous bases) -----
+    # --- compact the buffer stream (placeholders for ambiguous bases) ----
     inc = vns | amb
-    (sx, sy, sl), n = _compact([x, y, l.astype(jnp.int32)], inc,
-                               [INF, INF, jnp.int32(0)])
+    li = jnp.where(inc & vns, l, 0)
+    x = jnp.where(inc & defined, x, INF)
+    (sx, sy, sl), n = _sort_compact(inc, [x, y, li])
 
-    # --- window minima + emission set -------------------------------------
+    # --- window minima + emission set ------------------------------------
     W = _sliding_min_trailing(sx, w, INF)
     complete = sl >= (w + k - 1)
     # sentinel 0 is below every finite x (x >= span > 0) and never equals one
-    Ap = jnp.where(complete, W, jnp.uint64(0))
-    Ap = jnp.where(jnp.arange(L)[None, :] < n[:, None], Ap, jnp.uint64(0))
+    Ap = jnp.where(complete & (jnp.arange(L)[None, :] < n[:, None]),
+                   W, jnp.uint64(0))
     M = _sliding_max_leading(Ap, w, jnp.uint64(0))
     emit = (sx != INF) & (M == sx)
 
-    # --- final held minimum: min of the last window, newest tie wins ------
+    # --- final held minimum: min of the last window, newest tie wins -----
     spos = jnp.arange(L)[None, :]
     in_final = (spos >= (n[:, None] - w)) & (spos < n[:, None])
     xm = jnp.where(in_final, sx, INF)
     fmin = jnp.min(xm, axis=1)
     t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, spos, -1), axis=1)
     has_final = (fmin != INF) & (t_f >= 0)
-    emit = emit.at[jnp.arange(B), jnp.clip(t_f, 0, L - 1)].max(has_final)
+    emit = emit | ((spos == t_f[:, None]) & has_final[:, None])
 
-    (ox, oy), count = _compact([sx, sy], emit, [INF, INF])
+    # --- output compaction ----------------------------------------------
+    ox = jnp.where(emit, sx, INF)
+    oy = jnp.where(emit, sy, INF)
+    (ox, oy), count = _sort_compact(emit, [ox, oy])
     return ox, oy, count
 
 
