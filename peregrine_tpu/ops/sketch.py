@@ -143,12 +143,17 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
 
     # --- rolling k-mers on raw positions ---------------------------------
     cb = (c & 3).astype(kdt)
+    cbr = cb ^ jnp.asarray(3, kdt)  # complement codes
     fwd = jnp.zeros((B, L), kdt)
     rev = jnp.zeros((B, L), kdt)
     for d in range(k):
+        # pad value 0 mirrors the zero-initialized rolling registers; the
+        # complement stream is xor'd BEFORE shifting so missing entries
+        # contribute zero bits on both strands (src/mm_sketch.c:102-103)
         cd = _shift_right(cb, d, jnp.asarray(0, kdt))
+        cdr = _shift_right(cbr, d, jnp.asarray(0, kdt))
         fwd = fwd | (cd << jnp.asarray(2 * d, kdt))
-        rev = rev | ((cd ^ jnp.asarray(3, kdt)) << jnp.asarray(2 * (k - 1 - d), kdt))
+        rev = rev | (cdr << jnp.asarray(2 * (k - 1 - d), kdt))
     fwd = fwd & mask
 
     sym = (fwd == rev) & valid

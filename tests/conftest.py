@@ -24,8 +24,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # function-scoped: each test draws a reproducible sequence regardless
+    # of which other tests ran before it
     return np.random.default_rng(42)
 
 

@@ -91,14 +91,16 @@ def test_full_pipeline_with_consensus(tmp_path, rng):
     def ident(c):
         best = 0.0
         for cand in (c, revcomp(c)):
-            seed = cand[100:164].upper()
-            p = genome.find(seed)
-            if p < 0:
-                continue
-            ref = genome[max(p - 150, 0):]
-            aln = dw_align(cand.upper(), ref, 1500, get_aln_str=False)
-            if aln.aln_q_e > len(cand) * 0.5:
-                best = max(best, 1 - aln.dist / max(aln.aln_q_e, 1))
+            for off in (100, 500, 1000, 2000, 4000):
+                seed = cand[off:off + 64].upper()
+                p = genome.find(seed)
+                if p < 0:
+                    continue
+                ref = genome[max(p - off - 150, 0):]
+                aln = dw_align(cand.upper(), ref, 1500, get_aln_str=False)
+                if aln.aln_q_e > len(cand) * 0.5:
+                    best = max(best, 1 - aln.dist / max(aln.aln_q_e, 1))
+                break
         return best
 
     i = ident(longest)

