@@ -10,6 +10,7 @@ searchsorted, merging across shards is a concatenate-and-segment-sum.
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -20,10 +21,32 @@ import numpy as np
 from ..config import AsmConfig
 from ..io import formats
 from ..io.seqdb import SeqDB
-from .reduce import reduce_batch
-from .sketch import sketch_batch
+from .reduce import reduce_impl
+from .sketch import sketch_impl
 
 _INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap"))
+def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
+               levels: int, cap: int = 0):
+    """Fused device step: sketch -> L1 -> ... -> L_levels in one dispatch.
+
+    cap > 0 statically truncates the minimizer axis after sketching — the
+    expected density is 2/(w+1) so cap ~ L/8 is generous; callers must
+    check the returned sketch counts against cap (an exact count is
+    returned, so overflow is detectable and the batch can be re-run with
+    cap=0).
+
+    Returns (x, y, count) of the final level plus the L0 count.
+    """
+    x, y, c0 = sketch_impl(codes, lengths, rids, w=w, k=k)
+    if cap and cap < x.shape[1]:
+        x, y = x[:, :cap], y[:, :cap]
+    c = jnp.minimum(c0, x.shape[1])
+    for _ in range(levels):
+        x, y, c = reduce_impl(x, y, c, r=r)
+    return x, y, c, c0
 
 
 @dataclass
@@ -105,15 +128,28 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
         for i in range(0, len(batch_rids), bsz):
             part = batch_rids[i:i + bsz]
             codes, lens = db.padded_code_batch(part, pad)
-            x0, y0, c0 = sketch_batch(jnp.asarray(codes), jnp.asarray(lens),
-                                      jnp.asarray(part.astype(np.uint32)),
-                                      w=cfg.w, k=cfg.k)
-            xl, yl, cl = x0, y0, c0
-            for _ in range(cfg.levels):
-                xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
-            xl, yl, cl = jax.device_get((xl, yl, cl))
+            args = (jnp.asarray(codes), jnp.asarray(lens),
+                    jnp.asarray(part.astype(np.uint32)))
             if keep_l0:
+                from .reduce import reduce_batch
+                from .sketch import sketch_batch
+                x0, y0, c0 = sketch_batch(*args, w=cfg.w, k=cfg.k)
+                xl, yl, cl = x0, y0, c0
+                for _ in range(cfg.levels):
+                    xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
+                xl, yl, cl = jax.device_get((xl, yl, cl))
                 x0, y0, c0 = jax.device_get((x0, y0, c0))
+            else:
+                # fused single-dispatch step with a generous static cap on
+                # the minimizer axis; re-run uncapped on (rare) overflow
+                cap = max(256, pad // 8)
+                xl, yl, cl, c0 = jax.device_get(
+                    index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
+                               levels=cfg.levels, cap=cap))
+                if (c0 > cap).any():
+                    xl, yl, cl, c0 = jax.device_get(
+                        index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
+                                   levels=cfg.levels, cap=0))
             for b, rid in enumerate(part):
                 xs[rid] = xl[b, :cl[b]]
                 ys[rid] = yl[b, :cl[b]]

@@ -25,8 +25,7 @@ import numpy as np
 from .sketch import INF, _shift_right, _sort_compact
 
 
-@functools.partial(jax.jit, static_argnames=("r",))
-def reduce_batch(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
+def reduce_impl(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
     """Reduce per-read minimizer rows by factor ~r.
 
     Args:
@@ -62,6 +61,9 @@ def reduce_batch(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
     oy = jnp.where(emit, best_y, INF)
     (ox, oy), ocount = _sort_compact(emit, [ox, oy])
     return ox, oy, ocount
+
+
+reduce_batch = jax.jit(reduce_impl, static_argnames=("r",))
 
 
 def reduce_flat_np(x: np.ndarray, y: np.ndarray, r: int) -> tuple[np.ndarray, np.ndarray]:

@@ -115,9 +115,8 @@ def _sort_compact(keep: jnp.ndarray, operands: list[jnp.ndarray]):
     return list(out[1:]), jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "k"))
-def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
-                 *, w: int, k: int):
+def sketch_impl(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
+                *, w: int, k: int):
     """Sketch a padded batch of reads.
 
     Args:
@@ -205,6 +204,9 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
     oy = jnp.where(emit, sy, INF)
     (ox, oy), count = _sort_compact(emit, [ox, oy])
     return ox, oy, count
+
+
+sketch_batch = jax.jit(sketch_impl, static_argnames=("w", "k"))
 
 
 def sketch_reads_np(codes: np.ndarray, lengths: np.ndarray, rids: np.ndarray,

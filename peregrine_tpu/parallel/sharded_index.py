@@ -1,0 +1,120 @@
+"""Multi-chip SHIMMER indexing: data-parallel sketch + hash-shard exchange.
+
+The reference parallelizes indexing by read chunks and overlap by minimizer
+hash, with files as the interconnect (SURVEY.md §2.3).  On a TPU mesh both
+shardings become one device program:
+
+1. reads are sharded over the mesh's ``data`` axis; each device sketches
+   and reduces its shard (ops.index.index_step),
+2. each record is routed to the device owning its hash shard
+   (``hash % n_devices``) via a fixed-capacity ``all_to_all`` over ICI,
+3. each device sorts its received records by (hash, y) — the bucket
+   layout the overlapper consumes — and computes its local minimizer
+   counts by run length.
+
+All-to-all capacity is static: per (src, dst) pair ``cap`` records;
+per-destination overflow is detected via the returned send counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.index import index_step
+
+INF = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def _route_local(x, y, count, n_shards: int, cap: int):
+    """Pack local records into [n_shards, cap] send buffers by hash shard."""
+    B, C = x.shape
+    xf = x.reshape(-1)
+    yf = y.reshape(-1)
+    valid = (jnp.arange(C)[None, :] < count[:, None]).reshape(-1)
+    tgt = jnp.where(valid, (xf >> jnp.uint64(8)) % jnp.uint64(n_shards),
+                    jnp.uint64(n_shards)).astype(jnp.int32)
+
+    order = jnp.argsort(tgt, stable=True)
+    st = tgt[order]
+    sx = xf[order]
+    sy = yf[order]
+    sent = jnp.sum(jax.nn.one_hot(st, n_shards + 1, dtype=jnp.int32), axis=0)[:n_shards]
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(sent)[:-1].astype(jnp.int32)])
+    slot = jnp.arange(len(st)) - jnp.take(offsets, jnp.minimum(st, n_shards - 1))
+    dest = jnp.where((st < n_shards) & (slot < cap), st * cap + slot,
+                     n_shards * cap)
+    send_x = jnp.full((n_shards * cap + 1,), INF).at[dest].set(sx)[:-1]
+    send_y = jnp.full((n_shards * cap + 1,), INF).at[dest].set(sy)[:-1]
+    return (send_x.reshape(n_shards, cap), send_y.reshape(n_shards, cap), sent)
+
+
+def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
+                  r: int, levels: int, cap_per_pair: int, axis: str = "data"):
+    """Full multi-chip index step over ``mesh``.
+
+    Args:
+      codes/lengths/rids: global arrays, shardable on dim 0 over the mesh.
+      cap_per_pair: static per-(src,dst) record capacity for the exchange.
+
+    Returns per-device concatenated (x, y) records sorted by hash (global
+    shape [n*cap*n? ...] sharded on dim 0), local record validity counts,
+    and per-source sent counts for overflow detection.
+    """
+    n = mesh.devices.size
+
+    def local(codes, lengths, rids):
+        x, y, c, _ = index_step(codes, lengths, rids, w=w, k=k, r=r,
+                                levels=levels, cap=max(256, codes.shape[1] // 8))
+        send_x, send_y, sent = _route_local(x, y, c, n, cap_per_pair)
+        # exchange: row i of the send buffer goes to device i
+        recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=True)
+        recv_y = jax.lax.all_to_all(send_y, axis, 0, 0, tiled=True)
+        rx = recv_x.reshape(-1)
+        ry = recv_y.reshape(-1)
+        # bucket layout: sort received records by (hash-key, position key)
+        rx, ry = jax.lax.sort((rx, ry), dimension=0, num_keys=2)
+        nvalid = jnp.sum(rx != INF).astype(jnp.int32)
+        return rx[None, :], ry[None, :], nvalid[None], sent[None, :]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None)))
+    return fn(codes, lengths, rids)
+
+
+def sharded_index_host(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray,
+                       rids: np.ndarray, *, w: int, k: int, r: int,
+                       levels: int, cap_per_pair: int | None = None):
+    """Host wrapper: pads the batch to the mesh size and returns per-shard
+    (x, y) record arrays (hash-sharded, sorted)."""
+    n = mesh.devices.size
+    B, L = codes.shape
+    pad = (-B) % n
+    if pad:
+        codes = np.concatenate([codes, np.full((pad, L), 4, np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+        rids = np.concatenate([rids, np.zeros(pad, rids.dtype)])
+    cap = cap_per_pair or max(256, (B + n - 1) // n * L // (8 * n) * 2)
+    rx, ry, nv, sent = jax.device_get(
+        sharded_index(mesh, jnp.asarray(codes), jnp.asarray(lengths),
+                      jnp.asarray(rids), w=w, k=k, r=r, levels=levels,
+                      cap_per_pair=cap))
+    if (sent > cap).any():
+        raise ValueError(f"all_to_all capacity {cap} overflowed: {sent.max()}")
+    shards = []
+    for d in range(n):
+        shards.append((rx[d, :nv[d]], ry[d, :nv[d]]))
+    return shards
