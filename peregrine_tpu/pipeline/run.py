@@ -30,7 +30,7 @@ from ..graph.string_graph import generate_string_graph
 from ..graph.tiling import tiling_paths
 from ..io.seqdb import SeqDB, read_fastx
 from ..ops.index import ShimmerIndex, build_index
-from ..ops.overlap import overlap_chunk, ovlps_to_text
+from ..ops.overlap import overlap_all, ovlps_to_text
 
 log = logging.getLogger("peregrine_tpu")
 
@@ -89,11 +89,22 @@ class Assembly:
         return self.idx
 
     # --- stage 2: overlaps ---------------------------------------------
-    def build_overlaps(self) -> str:
+    def build_overlaps(self, n_chunks: int | None = None,
+                       n_workers: int | None = None) -> str:
         path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
         if not _stage_done(path):
             t0 = time.time()
-            ovlps = overlap_chunk(self.db, self.idx, self.cfg)
+            if n_workers is None:
+                n_workers = 1 if len(self.db) < 2000 else (os.cpu_count() or 1)
+            n_chunks = n_chunks or n_workers
+            level = self.cfg.levels
+            prefix = os.path.join(self.outdir, "1-index", "shmr")
+            ovlps = overlap_all(
+                self.db, self.idx, self.cfg,
+                n_chunks=n_chunks, n_workers=n_workers,
+                seqdb_prefix=os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
+                mm_paths=[f"{prefix}-L{level}-01-of-01.dat"],
+                mc_paths=[f"{prefix}-L{level}-MC-01-of-01.dat"])
             lines = ovlps_to_text(ovlps)
             _write_lines(path, lines + ["-"])
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs)",
