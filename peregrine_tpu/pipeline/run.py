@@ -48,9 +48,11 @@ def _write_lines(path: str, lines) -> None:
 class Assembly:
     """Driver holding per-stage state; file outputs double as checkpoints."""
 
-    def __init__(self, outdir: str, cfg: AsmConfig = AsmConfig()):
+    def __init__(self, outdir: str, cfg: AsmConfig = AsmConfig(),
+                 with_alt: bool = False):
         self.outdir = outdir
         self.cfg = cfg
+        self.with_alt = with_alt
         for d in ("0-seqdb", "1-index", "2-ovlp", "3-asm", "4-cns"):
             os.makedirs(os.path.join(outdir, d), exist_ok=True)
         with open(os.path.join(outdir, "config.json"), "w") as f:
@@ -139,6 +141,13 @@ class Assembly:
         with open(fa, "w") as f:
             for name, seq in contigs:
                 f.write(f">{name}\n{seq.decode()}\n")
+        if self.with_alt and a_lines:
+            # alternate (bubble-branch) contigs, reference --with-alt
+            # (py/scripts/pg_run.py:359-371)
+            a_contigs = tiling_to_contigs(self.db, a_lines)
+            with open(os.path.join(asm, "a_ctg.fa"), "w") as f:
+                for name, seq in a_contigs:
+                    f.write(f">{name}\n{seq.decode()}\n")
         log.info("stage 3 layout: %d contigs, %d bases (%.1fs)",
                  len(contigs), sum(len(s) for _, s in contigs), time.time() - t0)
         return fa

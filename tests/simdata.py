@@ -19,20 +19,27 @@ def random_genome(rng: np.random.Generator, n: int) -> bytes:
 
 
 def mutate(rng: np.random.Generator, seq: bytes, rate: float = 0.01) -> bytes:
-    out = bytearray()
-    for c in seq:
-        if rng.random() < rate:
-            choice = rng.integers(0, 9)
-            if choice < 4:
-                out.append(_B[choice])           # substitution
-            elif choice == 4:
-                pass                              # deletion
-            else:
-                out.append(c)
-                out.append(_B[choice - 5])        # insertion
-        else:
-            out.append(c)
-    return bytes(out)
+    """Vectorized sub/del/ins errors at the given per-base rate."""
+    a = np.frombuffer(seq, np.uint8)
+    n = len(a)
+    hit = rng.random(n) < rate
+    choice = rng.integers(0, 9, n)
+    # substitutions (choice 0-3)
+    out = a.copy()
+    sub = hit & (choice < 4)
+    out[sub] = _B[choice[sub]]
+    # emit lengths: 0 for deletion (choice 4), 2 for insertion (5-8), else 1
+    emit = np.ones(n, np.int64)
+    emit[hit & (choice == 4)] = 0
+    ins = hit & (choice >= 5)
+    emit[ins] = 2
+    dest = np.cumsum(emit) - emit
+    total = int(dest[-1] + emit[-1]) if n else 0
+    res = np.empty(total, np.uint8)
+    keep = emit > 0
+    res[dest[keep]] = out[keep]
+    res[dest[ins] + 1] = _B[choice[ins] - 5]
+    return res.tobytes()
 
 
 def simulate_reads(rng: np.random.Generator, genome: bytes, *,
