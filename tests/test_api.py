@@ -1,0 +1,62 @@
+import numpy as np
+
+from peregrine_tpu.api import (
+    get_cns_from_reads, get_shimmer_alns, get_shimmers_from_seq,
+    get_tag_from_seqs,
+)
+from peregrine_tpu.io.seqdb import revcomp
+from tests.simdata import mutate, random_genome
+
+
+def test_get_shimmers_from_seq(rng):
+    seq = random_genome(rng, 5000)
+    x, y = get_shimmers_from_seq(seq, rid=3, levels=2, reduction_factor=3)
+    assert len(x) > 0
+    assert (np.asarray(y) >> np.uint64(32) == 3).all()
+    # L1 is denser than L2
+    x1, _ = get_shimmers_from_seq(seq, levels=1, reduction_factor=3)
+    x0, _ = get_shimmers_from_seq(seq, levels=0)
+    assert len(x0) > len(x1) > len(x)
+
+
+def test_shimmer_alns_same_strand(rng):
+    genome = random_genome(rng, 8000)
+    a = genome[:6000]
+    b = mutate(rng, genome[2000:8000], 0.01)
+    sh0 = get_shimmers_from_seq(a, rid=0)
+    sh1 = get_shimmers_from_seq(b, rid=1)
+    alns = get_shimmer_alns(sh0, sh1, direction=0)
+    assert alns
+    best = max(alns, key=lambda x: len(x[0]))
+    # offset ~ 2000 (a position - b position)
+    assert abs(best[2] - 2000) < 150
+    assert len(best[0]) >= 3
+
+
+def test_shimmer_alns_reverse(rng):
+    genome = random_genome(rng, 8000)
+    a = genome
+    b = revcomp(mutate(rng, genome[1000:7000], 0.01))
+    sh0 = get_shimmers_from_seq(a, rid=0)
+    sh1 = get_shimmers_from_seq(b, rid=1)
+    alns = get_shimmer_alns(sh0, sh1, direction=1)
+    assert alns
+    best = max(alns, key=lambda x: len(x[0]))
+    assert len(best[0]) >= 3
+
+
+def test_get_tag_and_cluster_consensus(rng):
+    template = random_genome(rng, 3000)
+    tag = get_tag_from_seqs(mutate(rng, template, 0.02), template, 0)
+    assert tag is not None and len(tag) > 2500
+
+    reads = [template] + [mutate(rng, template, 0.02) for _ in range(8)]
+    # shuffle strands
+    reads = [r if i % 2 == 0 else revcomp(r) for i, r in enumerate(reads)]
+    reads[0] = template if True else reads[0]
+    cns = get_cns_from_reads(reads)
+    from peregrine_tpu.native import dw_align
+    aln = dw_align(cns.upper(), template, 100, get_aln_str=False)
+    ident = 1 - aln.dist / max(aln.aln_q_e, 1)
+    assert aln.aln_q_e > 2900
+    assert ident > 0.998, ident
