@@ -150,17 +150,13 @@ def _window_groups(mapped_rows: np.ndarray, ref_len: int,
     return groups
 
 
-def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
-                         mapped_rows: np.ndarray, cfg: AsmConfig) -> bytes:
-    """Polish one contig from its read mappings
-    (reference pg_asm_cns.py:68-273)."""
-    ref_len_total = int(ref_db.lengths[ctg_rid])
+def plan_windows(ref_len_total: int, mapped_rows: np.ndarray):
+    """Contig mappings -> [(left, right, reads)] window specs with per-read
+    (read_id, strand, shift) entries (reference pg_asm_cns.py:68-139)."""
     order = np.argsort(mapped_rows[:, 1], kind="stable")
     rows = mapped_rows[order]
-    groups = _window_groups(rows, ref_len_total)
-
-    segments: list[bytes] = []
-    for left, right, mapped in groups:
+    specs = []
+    for left, right, mapped in _window_groups(rows, ref_len_total):
         left = left - 1000
         assert left >= 0
         # multiple anchor offsets per (read, strand): keep distinct shifts
@@ -169,7 +165,6 @@ def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
             read_id = int(row[3])
             read_offset = int(row[1]) - int(row[4])
             rmap.setdefault((read_id, int(row[6])), []).append(read_offset)
-
         reads = []
         for (read_id, strand), offs in rmap.items():
             offs.sort()
@@ -180,44 +175,49 @@ def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
                     cur = v
                     reads.append((read_id, strand, cur - left))
         reads.sort(key=lambda x: x[2])
+        specs.append((left, right, reads))
+    return specs
 
-        ref_len = right - left
-        ref_seq = decode_biseq(
-            ref_db.packed(ctg_rid)[left:left + ref_len], 0)
 
-        # backbone self-alignment anchors the template
-        # (reference pg_asm_cns.py:152-166)
-        aln = dw_align(ref_seq, ref_seq, 50)
-        tag_lists = [get_align_tags(aln.q_aln_str, aln.t_aln_str,
-                                    aln.aln_q_s, aln.aln_t_s, 0)]
-        aln_base = 0
-        for read_id, strand, shift in reads:
-            read_seq = decode_biseq(read_db.packed(read_id), strand)
-            read_len = len(read_seq)
-            if shift < 0:
-                aln = dw_align(read_seq[-shift:], ref_seq, cfg.cns_aln_band)
-                if abs(abs(aln.aln_q_e - aln.aln_q_s) - (read_len + shift)) < 48:
-                    tag_lists.append(get_align_tags(
-                        aln.q_aln_str, aln.t_aln_str,
-                        aln.aln_q_s, aln.aln_t_s, 0))
-                    aln_base += abs(aln.aln_t_e - aln.aln_t_s)
-            else:
-                aln = dw_align(read_seq, ref_seq[shift:], cfg.cns_aln_band)
-                if (abs(abs(aln.aln_q_e - aln.aln_q_s) - read_len) < 48
-                        or abs(ref_len - shift - abs(aln.aln_q_e - aln.aln_q_s)) < 48):
-                    tag_lists.append(get_align_tags(
-                        aln.q_aln_str, aln.t_aln_str,
-                        aln.aln_q_s, aln.aln_t_s, shift))
-                    aln_base += abs(aln.aln_t_e - aln.aln_t_s)
+def window_consensus(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
+                     left: int, right: int, reads, cfg: AsmConfig) -> bytes:
+    """Consensus of one template window (reference pg_asm_cns.py:109-249)."""
+    ref_len = right - left
+    ref_seq = decode_biseq(ref_db.packed(ctg_rid)[left:left + ref_len], 0)
 
-        if aln_base / max(ref_len, 1) < 3:
-            segments.append(ref_seq.lower())
+    # backbone self-alignment anchors the template
+    # (reference pg_asm_cns.py:152-166)
+    aln = dw_align(ref_seq, ref_seq, 50)
+    tag_lists = [get_align_tags(aln.q_aln_str, aln.t_aln_str,
+                                aln.aln_q_s, aln.aln_t_s, 0)]
+    aln_base = 0
+    for read_id, strand, shift in reads:
+        read_seq = decode_biseq(read_db.packed(read_id), strand)
+        read_len = len(read_seq)
+        if shift < 0:
+            aln = dw_align(read_seq[-shift:], ref_seq, cfg.cns_aln_band)
+            if abs(abs(aln.aln_q_e - aln.aln_q_s) - (read_len + shift)) < 48:
+                tag_lists.append(get_align_tags(
+                    aln.q_aln_str, aln.t_aln_str,
+                    aln.aln_q_s, aln.aln_t_s, 0))
+                aln_base += abs(aln.aln_t_e - aln.aln_t_s)
         else:
-            segments.append(cns_from_tags(tag_lists, len(ref_seq),
-                                          cfg.cns_min_cov))
+            aln = dw_align(read_seq, ref_seq[shift:], cfg.cns_aln_band)
+            if (abs(abs(aln.aln_q_e - aln.aln_q_s) - read_len) < 48
+                    or abs(ref_len - shift - abs(aln.aln_q_e - aln.aln_q_s)) < 48):
+                tag_lists.append(get_align_tags(
+                    aln.q_aln_str, aln.t_aln_str,
+                    aln.aln_q_s, aln.aln_t_s, shift))
+                aln_base += abs(aln.aln_t_e - aln.aln_t_s)
 
-    # stitch window segments by aligning tail/head overhangs
-    # (reference pg_asm_cns.py:251-271)
+    if aln_base / max(ref_len, 1) < 3:
+        return ref_seq.lower()
+    return cns_from_tags(tag_lists, len(ref_seq), cfg.cns_min_cov)
+
+
+def stitch_segments(segments: list[bytes]) -> bytes:
+    """Splice window segments by aligning tail/head overhangs
+    (reference pg_asm_cns.py:251-271)."""
     s0 = segments[0]
     stitched = [s0]
     for s1 in segments[1:]:
@@ -227,3 +227,58 @@ def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
         stitched.append(s1[aln.aln_t_e:])
         s0 = s1
     return b"".join(stitched)
+
+
+_worker_dbs: dict[str, SeqDB] = {}
+
+
+def _window_worker(read_prefix: str, ref_prefix: str, ctg_rid: int,
+                   left: int, right: int, reads, cfg_json: str) -> bytes:
+    """Spawn-process worker computing one window (dbs cached per process)."""
+    for p in (read_prefix, ref_prefix):
+        if p not in _worker_dbs:
+            _worker_dbs[p] = SeqDB.open(p)
+    return window_consensus(_worker_dbs[read_prefix], _worker_dbs[ref_prefix],
+                            ctg_rid, left, right, reads,
+                            AsmConfig.from_json(cfg_json))
+
+
+def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
+                         mapped_rows: np.ndarray, cfg: AsmConfig) -> bytes:
+    """Polish one contig from its read mappings
+    (reference pg_asm_cns.py:68-273)."""
+    specs = plan_windows(int(ref_db.lengths[ctg_rid]), mapped_rows)
+    segments = [window_consensus(read_db, ref_db, ctg_rid, l, r, reads, cfg)
+                for l, r, reads in specs]
+    return stitch_segments(segments)
+
+
+def consensus_parallel(read_prefix: str, ref_prefix: str,
+                       contig_rows: dict[int, np.ndarray],
+                       ref_lengths: np.ndarray, cfg: AsmConfig,
+                       n_workers: int) -> dict[int, bytes]:
+    """Window-parallel consensus over all contigs: windows are independent
+    (the reference runs whole contigs per process; windows are the finer
+    grain), stitching is serial per contig."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    plans = {rid: plan_windows(int(ref_lengths[rid]), rows)
+             for rid, rows in contig_rows.items()}
+    jobs = [(rid, i, spec) for rid, specs in plans.items()
+            for i, spec in enumerate(specs)]
+    results: dict[tuple[int, int], bytes] = {}
+    cfg_json = cfg.to_json()
+    with cf.ProcessPoolExecutor(
+            max_workers=max(1, n_workers),
+            mp_context=mp.get_context("spawn")) as ex:
+        futs = {ex.submit(_window_worker, read_prefix, ref_prefix, rid,
+                          spec[0], spec[1], spec[2], cfg_json): (rid, i)
+                for rid, i, spec in jobs}
+        for f in cf.as_completed(futs):
+            results[futs[f]] = f.result()
+    out = {}
+    for rid, specs in plans.items():
+        segs = [results[(rid, i)] for i in range(len(specs))]
+        out[rid] = stitch_segments(segs) if segs else b""
+    return out

@@ -66,7 +66,7 @@ def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
             m0 = i
             continue
         ref_id = int(ry[m0]) >> 32
-        mc0 = int(read_idx.counts_for(np.array([rx[m0] >> np.uint64(8)]))[0])
+        mc0 = int(counts[m0])
         a, b = bucket
         for j in range(a, b):
             read_id = int(y0a[j]) >> 32

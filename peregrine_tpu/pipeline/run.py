@@ -153,8 +153,8 @@ class Assembly:
         return fa
 
     # --- stage 4: mapping + consensus polish ----------------------------
-    def build_consensus(self) -> str:
-        from ..ops.consensus import consensus_for_contig
+    def build_consensus(self, n_workers: int | None = None) -> str:
+        from ..ops.consensus import consensus_for_contig, consensus_parallel
         from ..ops.mapping import map_reads_to_ref
 
         cns_dir = os.path.join(self.outdir, "4-cns")
@@ -171,12 +171,22 @@ class Assembly:
         np.savetxt(os.path.join(cns_dir, "read_map.txt"), rows, fmt="%d")
         log.info("stage 4 mapping: %d rows (%.1fs)", len(rows), time.time() - t0)
 
+        if n_workers is None:
+            n_workers = 1 if len(self.db) < 2000 else (os.cpu_count() or 1)
+        contig_rows = {rid: (rows[rows[:, 0] == rid] if len(rows) else rows)
+                       for rid in range(len(ctg_db))}
+        if n_workers > 1:
+            seqs = consensus_parallel(
+                os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
+                ctg_prefix, contig_rows, ctg_db.lengths, self.cfg, n_workers)
+        else:
+            seqs = {rid: consensus_for_contig(self.db, ctg_db, rid,
+                                              contig_rows[rid], self.cfg)
+                    for rid in range(len(ctg_db))}
         with open(out_fa, "w") as f:
             for ctg_rid in range(len(ctg_db)):
-                sel = rows[rows[:, 0] == ctg_rid] if len(rows) else rows
-                seq = consensus_for_contig(self.db, ctg_db, ctg_rid,
-                                           sel, self.cfg)
-                f.write(f">{ctg_db.names[ctg_rid]}\n{seq.decode()}\n")
+                f.write(f">{ctg_db.names[ctg_rid]}\n"
+                        f"{seqs[ctg_rid].decode()}\n")
         log.info("stage 4 consensus done (%.1fs)", time.time() - t0)
         return out_fa
 
