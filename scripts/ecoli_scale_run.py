@@ -62,9 +62,9 @@ def main():
     ctgs = dict(read_fastx(fa))
     print("contigs:", {k: len(v) for k, v in ctgs.items()}, flush=True)
 
-    # identity of the longest contig against the (wrapped) genome
+    # identity of the longest contig against the doubled (circular) genome
     from peregrine_tpu.native import dw_align
-    g2 = genome + genome[:80000]
+    g2 = genome + genome
     longest = max(ctgs.values(), key=len)
     for cand, tag in ((longest, "fwd"), (revcomp(longest), "rc")):
         up = cand.upper()
@@ -76,11 +76,11 @@ def main():
                 break
         if p < 0:
             continue
-        ref = g2[max(p - 200, 0):p + len(up) + 5000]
+        ref = g2[max(p - 200, 0):p + len(up) + 20000]
         aln = dw_align(up, ref, 3000, get_aln_str=False)
         if aln.aln_q_e > len(up) * 0.5:
             print(f"{tag}: aligned {aln.aln_q_e}/{len(up)} dist={aln.dist} "
-                  f"identity={1-aln.dist/max(aln.aln_q_e,1):.5f}", flush=True)
+                  f"identity={1-aln.dist/max(aln.aln_q_e,1):.6f}", flush=True)
             break
     print("stage times:", {n: round(t, 1) for n, t in stages})
 
