@@ -133,22 +133,34 @@ def _bucket_runs(key0: np.ndarray, key1: np.ndarray) -> list[_Bucket]:
     return [_Bucket(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
 
 
+def _native_align(db: SeqDB, cfg: AsmConfig, rid0: int, pos0: int,
+                  strand0: int, rid1: int, pos1: int, strand1: int):
+    """Default alignment backend: the host C++ O(ND) kernel."""
+    off0, off1 = int(db.offsets[rid0]), int(db.offsets[rid1])
+    rlen0, rlen1 = int(db.lengths[rid0]), int(db.lengths[rid1])
+    q = db.data[off0 + pos0 - pos1: off0 + rlen0].tobytes()
+    t = db.data[off1: off1 + rlen1].tobytes()
+    m = ovlp_match(q, strand0, t, strand1, cfg.aln_bw)
+    return (m.dist, m.q_bgn, m.q_end, m.t_bgn, m.t_end, m.m_size,
+            m.q_m_end, m.t_m_end)
+
+
 def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                   chunk: int = 1, total_chunk: int = 1,
-                  rid_pairs: dict | None = None) -> np.ndarray:
+                  rid_pairs: dict | None = None,
+                  align_fn=None) -> np.ndarray:
     """Detect overlaps for one hash shard; returns OVLP_DTYPE records.
 
     Sequential accept semantics per bucket mirror shimmer_to_overlap
     (src/shmr_overlap.c:52-180); rid_pairs persists across buckets (and can
-    be shared across chunks by the caller for global dedup).
+    be shared across chunks by the caller for global dedup).  align_fn may
+    replace the native aligner (e.g. a device-batch cache).
     """
     key0, key1, y0a, y1a, dira = build_pairs(
         idx, db.lengths, chunk, total_chunk,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
     rid_pairs = {} if rid_pairs is None else rid_pairs
     lengths = db.lengths
-    offsets = db.offsets
-    data = db.data
     fuzz = cfg.read_end_fuzz
     out: list[tuple] = []
 
@@ -171,7 +183,6 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
             pos0 = int(pos[ai]) + 1
             rlen0 = int(lengths[rid0])
             strand0 = int(dirs[ai])
-            off0 = int(offsets[rid0])
             overlap_count = 0
             for ci in range(ai + 1, n):
                 if overlap_count >= cfg.best_n_ovlp:
@@ -190,18 +201,21 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 pos1 = int(pos[ci]) + 1
                 rlen1 = int(lengths[rid1])
                 strand1 = int(dirs[ci])
-                off1 = int(offsets[rid1])
                 slen0 = rlen0 - pos0 + pos1
                 slen1 = rlen1
-                q = data[off0 + pos0 - pos1: off0 + rlen0].tobytes()
-                t = data[off1: off1 + rlen1].tobytes()
-                m = ovlp_match(q, strand0, t, strand1, cfg.aln_bw)
-                ok = (m.q_bgn < fuzz and m.t_bgn < fuzz
-                      and (abs(slen0 - m.q_end) < fuzz or abs(slen1 - m.t_end) < fuzz)
-                      and m.q_end > cfg.min_ovlp_aln and m.t_end > cfg.min_ovlp_aln)
+                if align_fn is not None:
+                    (dist, q_bgn, q_end, t_bgn, t_end, m_size, q_m_end,
+                     t_m_end) = align_fn(rid0, pos0, strand0, rid1, pos1, strand1)
+                else:
+                    (dist, q_bgn, q_end, t_bgn, t_end, m_size, q_m_end,
+                     t_m_end) = _native_align(db, cfg, rid0, pos0, strand0,
+                                              rid1, pos1, strand1)
+                ok = (q_bgn < fuzz and t_bgn < fuzz
+                      and (abs(slen0 - q_end) < fuzz or abs(slen1 - t_end) < fuzz)
+                      and q_end > cfg.min_ovlp_aln and t_end > cfg.min_ovlp_aln)
                 if ok:
-                    if (abs(rlen0 - (m.q_end - m.q_bgn)) < fuzz * 2
-                            or abs(rlen1 - (m.t_end - m.t_bgn)) < fuzz * 2):
+                    if (abs(rlen0 - (q_end - q_bgn)) < fuzz * 2
+                            or abs(rlen1 - (t_end - t_bgn)) < fuzz * 2):
                         if rlen0 >= rlen1:
                             rid_pairs[ridp] = CONTAINS
                             ovlp_type = CONTAINS
@@ -215,8 +229,8 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                         rid_pairs[ridp] = OVERLAP
                         ovlp_type = OVERLAP
                     out.append((ys[ai], ys[ci], rlen0, rlen1, strand0, strand1,
-                                ovlp_type, m.m_size, m.dist, m.q_bgn, m.q_end,
-                                m.t_bgn, m.t_end, m.t_m_end, m.q_m_end))
+                                ovlp_type, m_size, dist, q_bgn, q_end,
+                                t_bgn, t_end, t_m_end, q_m_end))
                 if contained[ai]:
                     break
     return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
@@ -313,3 +327,90 @@ def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
                      f"{a_bgn} {a_end} {rlen0} {out_strand} {b_bgn} {b_end} "
                      f"{rlen1} {tname}")
     return lines
+
+
+def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                         chunk: int = 1, total_chunk: int = 1,
+                         rid_pairs: dict | None = None,
+                         spec_window: int = 8,
+                         batch: int = 256) -> np.ndarray:
+    """Overlap detection with device-batched alignment.
+
+    Speculatively aligns, for every anchor, its next `spec_window`
+    candidates in large device batches (ops.device_align.myers_batch), then
+    replays the reference's sequential accept logic against the result
+    cache; cache misses (rare: long skip runs) fall back to the native
+    aligner.  Accept decisions are identical to overlap_chunk up to the
+    aligner's documented dist/endpoint differences.
+    """
+    from ..io.seqdb import packed_to_codes
+    from .device_align import myers_batch_np
+
+    key0, key1, y0a, y1a, dira = build_pairs(
+        idx, db.lengths, chunk, total_chunk,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+
+    lengths = db.lengths
+    requests: list[tuple] = []        # (rid0, pos0, s0, rid1, pos1, s1)
+    seen_req: set = set()
+    for b in _bucket_runs(key0, key1):
+        n = b.end - b.start
+        if n <= 2 or n > cfg.ovlp_upper:
+            continue
+        ys = y0a[b.start:b.end]
+        dirs = dira[b.start:b.end]
+        pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
+        order = np.argsort(-pos, kind="stable")
+        ys, dirs, pos = ys[order], dirs[order], pos[order]
+        for ai in range(n - 2, -1, -1):
+            rid0 = int(ys[ai] >> np.uint64(32))
+            hit = 0
+            for ci in range(ai + 1, n):
+                rid1 = int(ys[ci] >> np.uint64(32))
+                if rid1 == rid0:
+                    continue
+                req = (rid0, int(pos[ai]) + 1, int(dirs[ai]),
+                       rid1, int(pos[ci]) + 1, int(dirs[ci]))
+                if req not in seen_req:
+                    seen_req.add(req)
+                    requests.append(req)
+                hit += 1
+                if hit >= spec_window:
+                    break
+
+    # batch-align all speculative requests, bucketed by padded length
+    cache: dict[tuple, tuple] = {}
+
+    def run_batch(reqs):
+        qs, ts = [], []
+        for rid0, pos0, s0, rid1, pos1, s1 in reqs:
+            packed0 = db.packed(rid0)[pos0 - pos1:]
+            qs.append(packed_to_codes(packed0, s0))
+            ts.append(db.codes(rid1, s1))
+        for (rid0, pos0, s0, rid1, pos1, s1), (d, qe, te) in zip(
+                reqs, myers_batch_np(qs, ts)):
+            m_size = (qe + te + 2 * d) // 2
+            cache[(rid0, pos0, s0, rid1, pos1, s1)] = (
+                d, 0, qe, 0, te, m_size, qe, te)
+
+    by_len: dict[int, list] = {}
+    for req in requests:
+        lt = int(lengths[req[3]])
+        by_len.setdefault(1 << max(8, (lt - 1).bit_length()), []).append(req)
+    for _, reqs in sorted(by_len.items()):
+        for i in range(0, len(reqs), batch):
+            run_batch(reqs[i:i + batch])
+
+    misses = [0]
+
+    def cached_align(rid0, pos0, strand0, rid1, pos1, strand1):
+        r = cache.get((rid0, pos0, strand0, rid1, pos1, strand1))
+        if r is None:
+            misses[0] += 1
+            return _native_align(db, cfg, rid0, pos0, strand0,
+                                 rid1, pos1, strand1)
+        return r
+
+    result = overlap_chunk(db, idx, cfg, chunk, total_chunk, rid_pairs,
+                           align_fn=cached_align)
+    return result
