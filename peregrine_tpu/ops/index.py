@@ -27,9 +27,9 @@ from .sketch import sketch_impl
 _INF = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap"))
+@functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap", "tight_out"))
 def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
-               levels: int, cap: int = 0):
+               levels: int, cap: int = 0, tight_out: bool = True):
     """Fused device step: sketch -> L1 -> ... -> L_levels in one dispatch.
 
     cap > 0 statically truncates the minimizer axis after sketching — the
@@ -46,6 +46,14 @@ def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
     c = jnp.minimum(c0, x.shape[1])
     for _ in range(levels):
         x, y, c = reduce_impl(x, y, c, r=r)
+    if levels > 0 and cap and tight_out:
+        # each reduction level shrinks the list ~(r/2)x in practice (dedup
+        # keeps more than 1/r); slice conservatively so the host pulls a
+        # fraction of the padded buffer (c stays exact for overflow checks)
+        shrink = max(1, int((r / 2) ** levels))
+        out_cap = max(64, cap // shrink)
+        if out_cap < x.shape[1]:
+            x, y = x[:, :out_cap], y[:, :out_cap]
     return x, y, c, c0
 
 
@@ -146,7 +154,7 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 xl, yl, cl, c0 = jax.device_get(
                     index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
                                levels=cfg.levels, cap=cap))
-                if (c0 > cap).any():
+                if (c0 > cap).any() or (cl > xl.shape[1]).any():
                     xl, yl, cl, c0 = jax.device_get(
                         index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
                                    levels=cfg.levels, cap=0))

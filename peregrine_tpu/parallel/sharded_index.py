@@ -76,7 +76,8 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
 
     def local(codes, lengths, rids):
         x, y, c, _ = index_step(codes, lengths, rids, w=w, k=k, r=r,
-                                levels=levels, cap=max(256, codes.shape[1] // 8))
+                                levels=levels, cap=max(256, codes.shape[1] // 8),
+                                tight_out=False)
         send_x, send_y, sent = _route_local(x, y, c, n, cap_per_pair)
         # exchange: row i of the send buffer goes to device i
         recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=True)
