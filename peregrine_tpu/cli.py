@@ -41,11 +41,39 @@ def main(argv=None) -> int:
     asm.add_argument("--lfc", action="store_true",
                      help="local-flow-consistency repeat resolution")
     asm.add_argument("--disable_chimer_bridge_removal", action="store_true")
+    asm.add_argument("--with-alt", action="store_true",
+                     help="emit alternate (bubble) contigs a_ctg.fa")
+    asm.add_argument("--with-L0-index", action="store_true", dest="with_l0",
+                     help="also write the level-0 SHIMMER index")
+    asm.add_argument("--n_chunks", type=int, default=None,
+                     help="overlap hash chunks (default: auto)")
+    asm.add_argument("--n_workers", type=int, default=None,
+                     help="overlap/consensus worker processes (default: auto)")
     asm.add_argument("-v", "--verbose", action="store_true")
+
+    mp = sub.add_parser("map", help="map reads to a reference "
+                        "(shmr_map equivalent)")
+    mp.add_argument("ref_prefix", help="reference seqdb prefix")
+    mp.add_argument("read_prefix", help="read seqdb prefix")
+    mp.add_argument("--output", default="-", help="output path (- = stdout)")
+    mp.add_argument("--shimmer-k", type=int, default=16, dest="k")
+    mp.add_argument("--shimmer-w", type=int, default=80, dest="w")
+    mp.add_argument("--shimmer-r", type=int, default=6, dest="r")
+    mp.add_argument("--shimmer-l", type=int, default=2, dest="levels")
+
+    sq = sub.add_parser("seqdb", help="build a packed seqdb from a read list "
+                        "(shmr_mkseqdb equivalent)")
+    sq.add_argument("reads_lst")
+    sq.add_argument("prefix")
+
+    dp = sub.add_parser("dump-index", help="print SHIMMER index records as "
+                        "text (py-utils dumper equivalent)")
+    dp.add_argument("mmlist", help="a *-L?-cc-of-tt.dat file")
+    dp.add_argument("--limit", type=int, default=0)
 
     args = p.parse_args(argv)
     logging.basicConfig(
-        level=logging.DEBUG if args.verbose else logging.INFO,
+        level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
         format="%(asctime)s %(name)s %(message)s")
 
     if args.cmd == "asm":
@@ -59,9 +87,55 @@ def main(argv=None) -> int:
             ovlp_upper=args.ovlp_upper, min_len=args.min_len,
             min_idt=args.min_idt, lfc=args.lfc,
             disable_chimer_bridge_removal=args.disable_chimer_bridge_removal)
-        fa = Assembly(args.output, cfg).run(
-            reads_list=args.reads_lst, with_consensus=args.with_consensus)
+        asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
+        asm_obj.build_db(reads_list=args.reads_lst)
+        if args.with_l0:
+            from .ops.index import build_index
+            idx, l0 = build_index(asm_obj.db, cfg, keep_l0=True)
+            prefix = f"{args.output}/1-index/shmr"
+            idx.save(prefix, level=cfg.levels)
+            l0.save(prefix, level=0)
+            asm_obj.idx = idx
+        else:
+            asm_obj.build_shimmer_index()
+        asm_obj.build_overlaps(args.n_chunks, args.n_workers)
+        fa = asm_obj.build_contigs()
+        if args.with_consensus:
+            fa = asm_obj.build_consensus(args.n_workers)
         print(fa)
+        return 0
+
+    if args.cmd == "map":
+        import numpy as np
+        from .config import AsmConfig
+        from .io.seqdb import SeqDB
+        from .ops.index import build_index
+        from .ops.mapping import map_reads_to_ref
+
+        cfg = AsmConfig(k=args.k, w=args.w, r=args.r, levels=args.levels)
+        ref_db = SeqDB.open(args.ref_prefix)
+        read_db = SeqDB.open(args.read_prefix)
+        ref_idx = build_index(ref_db, cfg)
+        read_idx = build_index(read_db, cfg)
+        rows = map_reads_to_ref(read_idx, read_db.lengths, ref_idx, cfg)
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        for r in rows:
+            print(" ".join(str(int(v)) for v in r), file=out)
+        return 0
+
+    if args.cmd == "seqdb":
+        from .io.seqdb import SeqDB
+        SeqDB.from_file_list(args.reads_lst).save(args.prefix)
+        return 0
+
+    if args.cmd == "dump-index":
+        from .io import formats
+        x, y = formats.read_mmlist(args.mmlist)
+        n = args.limit or len(x)
+        for i in range(min(n, len(x))):
+            xi, yi = int(x[i]), int(y[i])
+            print(f"{xi >> 8} {xi & 0xFF} {yi >> 32} "
+                  f"{(yi & 0xFFFFFFFF) >> 1} {yi & 1}")
         return 0
     return 1
 

@@ -63,9 +63,10 @@ def _block_update(pv, mv, eq, hin):
     return pv_new, mv_new, hout
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+@functools.partial(jax.jit, static_argnames=("nb", "unroll"))
 def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
-                t_codes: jnp.ndarray, t_lens: jnp.ndarray, *, nb: int = 8):
+                t_codes: jnp.ndarray, t_lens: jnp.ndarray, *, nb: int = 8,
+                unroll: int = 32):
     """Align a batch of anchored pairs.
 
     Args:
@@ -97,10 +98,19 @@ def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
         snap_w0=jnp.zeros((B,), jnp.int32),
     )
 
-    def body(j, st):
-        w0 = jnp.maximum(0, j // WB - nb // 2)
-        w0_prev = jnp.maximum(0, (j - 1) // WB - nb // 2)
-        slide = w0 > w0_prev
+    # Columns are processed in WB-wide chunks: the band window position
+    # w0(j) = max(0, j//WB - nb//2) is constant within a chunk, so the PEq
+    # window is sliced once and the WB column updates unroll inside one
+    # loop body (cuts loop/dispatch overhead ~WB-fold).
+    n_chunks = -(-LT // WB)
+    LTP = n_chunks * WB
+    tcp = jnp.pad(tc, ((0, 0), (0, LTP - LT)), constant_values=7)
+
+    def body(chunk, st):
+        j0 = chunk * WB
+        w0 = jnp.maximum(0, chunk - nb // 2)
+        w0_prev = jnp.maximum(0, chunk - 1 - nb // 2)
+        slide = (w0 > w0_prev) & (chunk > 0)
 
         pv, mv = st["pv"], st["mv"]
         pv = jnp.where(slide,
@@ -112,42 +122,66 @@ def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
                                         jnp.zeros((B, 1), jnp.uint32)], 1), mv)
         bot = st["bot"] + jnp.where(slide, WB, 0)
 
-        c = jax.lax.dynamic_slice(tc, (0, j), (B, 1))[:, 0]      # [B]
-        eqw = jnp.zeros((B, nb), jnp.uint32)
-        for cc in range(4):
-            sl = jax.lax.dynamic_slice(peq[:, cc], (0, w0), (B, nb))
-            eqw = eqw + jnp.where((c == cc)[:, None], sl, 0)
+        cs = jax.lax.dynamic_slice(tcp, (0, j0), (B, WB))        # [B, WB]
+        peq_win = [jax.lax.dynamic_slice(peq[:, cc], (0, w0), (B, nb))
+                   for cc in range(4)]
 
-        hin = jnp.ones((B,), jnp.int32)
-        outs_pv, outs_mv = [], []
-        for b in range(nb):
-            p, m, hin = _block_update(pv[:, b], mv[:, b], eqw[:, b], hin)
-            outs_pv.append(p)
-            outs_mv.append(m)
-        pv = jnp.stack(outs_pv, axis=1)
-        mv = jnp.stack(outs_mv, axis=1)
-        bot = bot + hin
-
-        active = j < t_lens
+        best_te_d = st["best_te_d"]
+        best_te_j = st["best_te_j"]
+        snap_pv, snap_mv = st["snap_pv"], st["snap_mv"]
+        snap_bot, snap_w0 = st["snap_bot"], st["snap_w0"]
         bottom_row = (w0 + nb) * WB
         covers_q = bottom_row >= q_lens
-        d_lq = bot - (bottom_row - q_lens)
-        better = active & covers_q & (d_lq < st["best_te_d"])
-        best_te_d = jnp.where(better, d_lq, st["best_te_d"])
-        best_te_j = jnp.where(better, j + 1, st["best_te_j"])
 
-        # snapshot the column state where this lane's target ends
-        is_last = j == (t_lens - 1)
-        snap_pv = jnp.where(is_last[:, None], pv, st["snap_pv"])
-        snap_mv = jnp.where(is_last[:, None], mv, st["snap_mv"])
-        snap_bot = jnp.where(is_last, bot, st["snap_bot"])
-        snap_w0 = jnp.where(is_last, w0, st["snap_w0"])
+        def col_step(u, carry):
+            (pv, mv, bot, best_te_d, best_te_j,
+             snap_pv, snap_mv, snap_bot, snap_w0) = carry
+            j = j0 + u
+            c = jax.lax.dynamic_slice(cs, (0, u), (B, 1))[:, 0]
+            eqw = jnp.zeros((B, nb), jnp.uint32)
+            for cc in range(4):
+                eqw = eqw + jnp.where((c == cc)[:, None], peq_win[cc], 0)
+
+            hin = jnp.ones((B,), jnp.int32)
+            outs_pv, outs_mv = [], []
+            for b in range(nb):
+                p, m, hin = _block_update(pv[:, b], mv[:, b], eqw[:, b], hin)
+                outs_pv.append(p)
+                outs_mv.append(m)
+            pv = jnp.stack(outs_pv, axis=1)
+            mv = jnp.stack(outs_mv, axis=1)
+            bot = bot + hin
+
+            active = j < t_lens
+            d_lq = bot - (bottom_row - q_lens)
+            better = active & covers_q & (d_lq < best_te_d)
+            best_te_d = jnp.where(better, d_lq, best_te_d)
+            best_te_j = jnp.where(better, j + 1, best_te_j)
+
+            is_last = j == (t_lens - 1)
+            snap_pv = jnp.where(is_last[:, None], pv, snap_pv)
+            snap_mv = jnp.where(is_last[:, None], mv, snap_mv)
+            snap_bot = jnp.where(is_last, bot, snap_bot)
+            snap_w0 = jnp.where(is_last, w0, snap_w0)
+            return (pv, mv, bot, best_te_d, best_te_j,
+                    snap_pv, snap_mv, snap_bot, snap_w0)
+
+        carry = (pv, mv, bot, best_te_d, best_te_j,
+                 snap_pv, snap_mv, snap_bot, snap_w0)
+        if unroll >= WB:
+            for u in range(WB):
+                carry = col_step(u, carry)
+        else:
+            carry = jax.lax.fori_loop(0, WB, col_step, carry,
+                                      unroll=max(1, unroll))
+        (pv, mv, bot, best_te_d, best_te_j,
+         snap_pv, snap_mv, snap_bot, snap_w0) = carry
 
         return dict(pv=pv, mv=mv, bot=bot, best_te_d=best_te_d,
                     best_te_j=best_te_j, snap_pv=snap_pv, snap_mv=snap_mv,
                     snap_bot=snap_bot, snap_w0=snap_w0)
 
-    st = jax.lax.fori_loop(0, LT, body, state)
+    st = jax.lax.fori_loop(0, n_chunks, body, state)
 
     # target-end readout: walk scores up the snapshot column
     bits = jnp.arange(nb * WB, dtype=jnp.uint32)
@@ -177,7 +211,7 @@ def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
 
 
 def myers_batch_np(qs: list[np.ndarray], ts: list[np.ndarray],
-                   nb: int = 8) -> list[tuple[int, int, int]]:
+                   nb: int = 8, unroll: int | None = None) -> list[tuple[int, int, int]]:
     """Host convenience: pad ragged code lists, run one device batch."""
     B = len(qs)
     LQ = max(len(q) for q in qs)
@@ -191,7 +225,10 @@ def myers_batch_np(qs: list[np.ndarray], ts: list[np.ndarray],
         tc[i, :len(t)] = t
         ql[i] = len(q)
         tl[i] = len(t)
+    if unroll is None:
+        # big unrolled bodies compile slowly on CPU backends
+        unroll = 32 if jax.default_backend() not in ("cpu",) else 1
     d, qe, te = jax.device_get(
         myers_batch(jnp.asarray(qc), jnp.asarray(ql),
-                    jnp.asarray(tc), jnp.asarray(tl), nb=nb))
+                    jnp.asarray(tc), jnp.asarray(tl), nb=nb, unroll=unroll))
     return list(zip(d.tolist(), qe.tolist(), te.tolist()))

@@ -49,10 +49,11 @@ class Assembly:
     """Driver holding per-stage state; file outputs double as checkpoints."""
 
     def __init__(self, outdir: str, cfg: AsmConfig = AsmConfig(),
-                 with_alt: bool = False):
+                 with_alt: bool = False, profile_dir: str | None = None):
         self.outdir = outdir
         self.cfg = cfg
         self.with_alt = with_alt
+        self.profile_dir = profile_dir  # jax.profiler trace output (optional)
         for d in ("0-seqdb", "1-index", "2-ovlp", "3-asm", "4-cns"):
             os.makedirs(os.path.join(outdir, d), exist_ok=True)
         with open(os.path.join(outdir, "config.json"), "w") as f:
@@ -200,9 +201,17 @@ class Assembly:
     def run(self, reads=None, reads_list: str | None = None,
             with_consensus: bool = True) -> str:
         """Full pipeline; returns the final fasta path."""
-        fa = self.run_draft(reads, reads_list)
-        if with_consensus:
-            fa = self.build_consensus()
+        if self.profile_dir:
+            import jax
+            jax.profiler.start_trace(self.profile_dir)
+        try:
+            fa = self.run_draft(reads, reads_list)
+            if with_consensus:
+                fa = self.build_consensus()
+        finally:
+            if self.profile_dir:
+                import jax
+                jax.profiler.stop_trace()
         return fa
 
 
