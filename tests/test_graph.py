@@ -1,0 +1,99 @@
+"""Unit tests for the string-graph layout engine on constructed cases."""
+
+from peregrine_tpu.graph.layout import (
+    assemble_graph, identify_simple_paths,
+)
+from peregrine_tpu.graph.string_graph import (
+    GraphResult, StringGraph, generate_string_graph, reverse_end,
+)
+from peregrine_tpu.graph.tiling import tiling_paths
+
+
+def _ovl_line(a, b, mlen, idt, a_rng, b_rng, strand_b, typ):
+    a_b, a_e, a_l = a_rng
+    b_b, b_e, b_l = b_rng
+    return (f"{a:09d} {b:09d} {-mlen} {idt} 0 {a_b} {a_e} {a_l} "
+            f"{strand_b} {b_b} {b_e} {b_l} {typ}")
+
+
+def _chain_overlaps(n=6, rl=10000, step=4000, idt=99.5):
+    """Reads tiling a line: read i covers [i*step, i*step+rl)."""
+    lines = []
+    for i in range(n - 1):
+        ov = rl - step
+        lines.append(_ovl_line(i, i + 1, ov, idt,
+                               (step, rl, rl), (0, ov, rl), 0, "overlap"))
+    return lines
+
+
+def test_reverse_end():
+    assert reverse_end("000000001:B") == "000000001:E"
+    assert reverse_end("000000001:E") == "000000001:B"
+    assert reverse_end("NA") == "NA"
+
+
+def test_linear_chain_graph():
+    res = generate_string_graph(_chain_overlaps(), min_len=4000, min_idt=96)
+    # every live edge has its dual complement
+    for (v, w) in res.edge_data:
+        assert (reverse_end(w), reverse_end(v)) in res.edge_data
+    u_edge_data, ctg_rows, utg_rows, _ = assemble_graph(res)
+    assert len(ctg_rows) == 2  # F and R of one contig
+    f_row = ctg_rows[0].split()
+    assert f_row[1] == "ctg_linear"
+    # tiling path covers all 5 edges
+    p_lines, a_lines = tiling_paths(res.sg_edge_lines, utg_rows, ctg_rows)
+    assert len(p_lines) == 5
+    assert not a_lines
+
+
+def test_contained_reads_dropped():
+    lines = _chain_overlaps()
+    # read 99 contained in read 0
+    lines.append(_ovl_line(0, 99, 5000, 99.9,
+                           (0, 5000, 10000), (0, 5000, 5000), 0, "contains"))
+    res = generate_string_graph(lines, min_len=4000, min_idt=96)
+    for (v, w) in res.edge_data:
+        assert not v.startswith("000000099")
+        assert not w.startswith("000000099")
+
+
+def test_low_identity_filtered():
+    lines = _chain_overlaps(idt=90.0)
+    res = generate_string_graph(lines, min_len=4000, min_idt=96)
+    assert not res.edge_data
+
+
+def test_transitive_reduction():
+    # reads 0-1-2 chain plus a transitive overlap 0-2
+    lines = _chain_overlaps(n=3)
+    lines.append(_ovl_line(0, 2, 2000, 99.0,
+                           (8000, 10000, 10000), (0, 2000, 10000), 0, "overlap"))
+    res = generate_string_graph(lines, min_len=4000, min_idt=96)
+    # the 0->2 edge must be marked TR (reduced), leaving the chain
+    live = set(res.edge_data)
+    assert ("000000000:E", "000000002:E") not in live
+    assert ("000000000:E", "000000001:E") in live
+    assert ("000000001:E", "000000002:E") in live
+
+
+def test_spur_removed():
+    # chain of 6 plus a dead-end spur read hanging off read 2
+    lines = _chain_overlaps(n=6)
+    lines.append(_ovl_line(2, 50, 3000, 99.0,
+                           (7000, 10000, 10000), (0, 3000, 6000), 0, "overlap"))
+    res = generate_string_graph(lines, min_len=4000, min_idt=96)
+    u_edge_data, ctg_rows, utg_rows, _ = assemble_graph(res)
+    # main contig survives with all chain reads
+    p_lines, _ = tiling_paths(res.sg_edge_lines, utg_rows, ctg_rows)
+    main = [l for l in p_lines if l.split()[0].endswith("F")]
+    assert len(main) >= 4
+
+
+def test_simple_paths_dual_symmetry():
+    res = generate_string_graph(_chain_overlaps(), min_len=4000, min_idt=96)
+    sp = identify_simple_paths(res.live, res.edge_data)
+    keys = set(sp)
+    for (v0, w0, end) in keys:
+        r = (reverse_end(end), None, None)
+        assert any(k[0] == reverse_end(end) for k in keys), (v0, w0, end)
