@@ -333,7 +333,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
                          rid_pairs: dict | None = None,
                          spec_window: int = 8,
-                         batch: int = 256) -> np.ndarray:
+                         batch: int = 1024) -> np.ndarray:
     """Overlap detection with device-batched alignment.
 
     Speculatively aligns, for every anchor, its next `spec_window`

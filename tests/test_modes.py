@@ -1,0 +1,59 @@
+"""Pipeline mode variants mirroring the reference test matrix
+(test/ecoli_K12/Makefile: test-pypeflow-l1, --with-L0-index, --with-alt)."""
+
+import os
+
+import numpy as np
+
+from peregrine_tpu.config import AsmConfig
+from peregrine_tpu.io import formats
+from peregrine_tpu.io.seqdb import SeqDB, read_fastx
+from peregrine_tpu.ops.index import build_index
+from peregrine_tpu.pipeline.run import Assembly
+from tests.simdata import random_genome, simulate_reads
+
+
+def test_l1_only_mode(tmp_path, rng):
+    """Single reduction level with a larger r (reference test-pypeflow-l1
+    uses --shimmer-r 24 --shimmer-l 1)."""
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=14.0)
+    cfg = AsmConfig(k=12, w=24, r=8, levels=1, min_len=2500,
+                    sketch_pad_len=8192, sketch_batch=16)
+    asm = Assembly(str(tmp_path / "wd"), cfg)
+    fa = asm.run_draft(reads=reads)
+    assert os.path.exists(str(tmp_path / "wd/1-index/shmr-L1-01-of-01.dat"))
+    ctgs = dict(read_fastx(fa))
+    assert ctgs
+    assert max(len(s) for s in ctgs.values()) > 0.5 * len(genome)
+
+
+def test_keep_l0_index(rng, tmp_path):
+    genome = random_genome(rng, 20000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=8.0)
+    db = SeqDB.from_reads(reads)
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, sketch_pad_len=8192,
+                    sketch_batch=16)
+    idx, l0 = build_index(db, cfg, keep_l0=True)
+    assert len(l0.x) > len(idx.x) * 3
+    l0.save(str(tmp_path / "shmr"), level=0)
+    x, y = formats.read_mmlist(str(tmp_path / "shmr-L0-01-of-01.dat"))
+    np.testing.assert_array_equal(x, l0.x)
+
+
+def test_with_alt_contigs(tmp_path, rng):
+    """A heterozygous bubble produces an alternate contig path."""
+    genome = random_genome(rng, 50000)
+    # haplotype B: divergent middle section
+    alt = bytearray(genome)
+    for i in range(20000, 23000, 29):
+        alt[i] = ord("ACGT"[(alt[i] + 1) % 4])
+    reads_a, _ = simulate_reads(rng, genome, read_len=4000, coverage=10.0)
+    reads_b, _ = simulate_reads(rng, bytes(alt), read_len=4000, coverage=10.0)
+    reads = [(f"a{n}", s) for n, s in reads_a] + [(f"b{n}", s) for n, s in reads_b]
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                    sketch_pad_len=8192, sketch_batch=16)
+    asm = Assembly(str(tmp_path / "wd"), cfg, with_alt=True)
+    asm.run_draft(reads=reads)
+    # bubble may resolve into alternates; the a_ctg tiling file must exist
+    assert os.path.exists(str(tmp_path / "wd/3-asm/a_ctg_tiling_path"))
