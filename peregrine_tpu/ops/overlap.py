@@ -344,7 +344,6 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     aligner's documented dist/endpoint differences.
     """
     from ..io.seqdb import packed_to_codes
-    from .device_align import myers_batch_np
 
     key0, key1, y0a, y1a, dira = build_pairs(
         idx, db.lengths, chunk, total_chunk,
@@ -378,28 +377,48 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 if hit >= spec_window:
                     break
 
-    # batch-align all speculative requests, bucketed by padded length
-    cache: dict[tuple, tuple] = {}
+    # batch-align all speculative requests with STATIC shapes: requests are
+    # bucketed by pow2 of max(q, t) length and every batch is padded to
+    # exactly (batch, pad) so each bucket compiles once
+    import jax
+    import jax.numpy as jnp
 
-    def run_batch(reqs):
-        qs, ts = [], []
-        for rid0, pos0, s0, rid1, pos1, s1 in reqs:
-            packed0 = db.packed(rid0)[pos0 - pos1:]
-            qs.append(packed_to_codes(packed0, s0))
-            ts.append(db.codes(rid1, s1))
-        for (rid0, pos0, s0, rid1, pos1, s1), (d, qe, te) in zip(
-                reqs, myers_batch_np(qs, ts)):
-            m_size = (qe + te + 2 * d) // 2
-            cache[(rid0, pos0, s0, rid1, pos1, s1)] = (
-                d, 0, qe, 0, te, m_size, qe, te)
+    from .device_align import myers_batch
+
+    cache: dict[tuple, tuple] = {}
+    unroll = 32 if jax.default_backend() not in ("cpu",) else 1
+
+    def run_batch(reqs, pad):
+        nreq = len(reqs)
+        qc = np.full((batch, pad), 7, np.uint8)
+        tc = np.full((batch, pad), 7, np.uint8)
+        ql = np.zeros(batch, np.int32)
+        tl = np.zeros(batch, np.int32)
+        for i, (rid0, pos0, s0, rid1, pos1, s1) in enumerate(reqs):
+            q = packed_to_codes(db.packed(rid0)[pos0 - pos1:], s0)
+            t = db.codes(rid1, s1)
+            qc[i, :len(q)] = q
+            tc[i, :len(t)] = t
+            ql[i] = len(q)
+            tl[i] = len(t)
+        d, qe, te = jax.device_get(
+            myers_batch(jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(tc),
+                        jnp.asarray(tl), nb=8, unroll=unroll))
+        for i, req in enumerate(reqs):
+            m_size = (int(qe[i]) + int(te[i]) + 2 * int(d[i])) // 2
+            cache[req] = (int(d[i]), 0, int(qe[i]), 0, int(te[i]),
+                          m_size, int(qe[i]), int(te[i]))
 
     by_len: dict[int, list] = {}
     for req in requests:
-        lt = int(lengths[req[3]])
-        by_len.setdefault(1 << max(8, (lt - 1).bit_length()), []).append(req)
-    for _, reqs in sorted(by_len.items()):
+        rid0, pos0, _, rid1, pos1, _ = req
+        lq = int(lengths[rid0]) - (pos0 - pos1)
+        lt = int(lengths[rid1])
+        m = max(lq, lt)
+        by_len.setdefault(1 << max(10, (m - 1).bit_length()), []).append(req)
+    for pad, reqs in sorted(by_len.items()):
         for i in range(0, len(reqs), batch):
-            run_batch(reqs[i:i + batch])
+            run_batch(reqs[i:i + batch], pad)
 
     misses = [0]
 
