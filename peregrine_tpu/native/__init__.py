@@ -14,7 +14,8 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = [os.path.join(_DIR, "dw_align.cpp")]
+_SRC = [os.path.join(_DIR, "dw_align.cpp"),
+        os.path.join(_DIR, "consensus.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -88,6 +89,36 @@ class DwAlignment:
         n = a.aln_str_size
         self.q_aln_str = ctypes.string_at(a.q_aln_str, n) if a.q_aln_str else b""
         self.t_aln_str = ctypes.string_at(a.t_aln_str, n) if a.t_aln_str else b""
+
+
+class _CnsResult(ctypes.Structure):
+    _fields_ = [("seq", ctypes.c_void_p), ("len", ctypes.c_int32)]
+
+
+_lib.window_cns_c.argtypes = [
+    ctypes.c_char_p, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_CnsResult)]
+_lib.free_cns_c.argtypes = [ctypes.POINTER(_CnsResult)]
+
+
+def window_cns(ref_seq: bytes, read_seqs: list[bytes], shifts: list[int],
+               band: int, min_cov: int) -> bytes:
+    """Native consensus of one template window (backbone + read alignments
+    + tag pileup + max-weight path; semantics of falcon/falcon.c via
+    ops/consensus.py)."""
+    n = len(read_seqs)
+    arr = (ctypes.c_char_p * n)(*read_seqs)
+    lens = (ctypes.c_int32 * n)(*[len(s) for s in read_seqs])
+    sh = (ctypes.c_int32 * n)(*shifts)
+    out = _CnsResult()
+    _lib.window_cns_c(ref_seq, len(ref_seq), arr, lens, sh, n,
+                      band, min_cov, ctypes.byref(out))
+    try:
+        return ctypes.string_at(out.seq, out.len) if out.seq else b""
+    finally:
+        _lib.free_cns_c(ctypes.byref(out))
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

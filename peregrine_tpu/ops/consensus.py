@@ -180,10 +180,23 @@ def plan_windows(ref_len_total: int, mapped_rows: np.ndarray):
 
 
 def window_consensus(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
-                     left: int, right: int, reads, cfg: AsmConfig) -> bytes:
-    """Consensus of one template window (reference pg_asm_cns.py:109-249)."""
+                     left: int, right: int, reads, cfg: AsmConfig,
+                     use_native: bool = True) -> bytes:
+    """Consensus of one template window (reference pg_asm_cns.py:109-249).
+
+    use_native routes the whole window (alignments + pileup + DP) through
+    the C++ core (native/consensus.cpp); the Python path below is the
+    semantic reference used for cross-checking."""
     ref_len = right - left
     ref_seq = decode_biseq(ref_db.packed(ctg_rid)[left:left + ref_len], 0)
+
+    if use_native:
+        from ..native import window_cns
+        read_seqs = [decode_biseq(read_db.packed(rid), strand)
+                     for rid, strand, _ in reads]
+        shifts = [shift for _, _, shift in reads]
+        return window_cns(ref_seq, read_seqs, shifts,
+                          cfg.cns_aln_band, cfg.cns_min_cov)
 
     # backbone self-alignment anchors the template
     # (reference pg_asm_cns.py:152-166)

@@ -105,3 +105,28 @@ def test_full_pipeline_with_consensus(tmp_path, rng):
 
     i = ident(longest)
     assert i > 0.995, f"consensus identity {i:.4f}"
+
+
+def test_native_window_matches_python(rng, tmp_path):
+    """The C++ window core must reproduce the Python reference path."""
+    from peregrine_tpu.ops.consensus import window_consensus
+    from peregrine_tpu.ops.mapping import map_reads_to_ref
+    from peregrine_tpu.ops.consensus import plan_windows
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, sketch_pad_len=16384,
+                    sketch_batch=8)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    read_db = SeqDB.from_reads(reads)
+    ref_db = SeqDB.from_reads([("ref", genome)])
+    ridx = build_index(read_db, cfg)
+    fidx = build_index(ref_db, cfg)
+    rows = map_reads_to_ref(ridx, read_db.lengths, fidx, cfg)
+    specs = plan_windows(len(genome), rows)
+    assert specs
+    for left, right, wreads in specs[:2]:
+        py = window_consensus(read_db, ref_db, 0, left, right, wreads, cfg,
+                              use_native=False)
+        cc = window_consensus(read_db, ref_db, 0, left, right, wreads, cfg,
+                              use_native=True)
+        assert cc == py
