@@ -83,7 +83,9 @@ def get_cns_from_reads(seqs: list[bytes], levels: int = 2,
                        min_cov: int = 1) -> bytes:
     """Consensus of a read cluster: the first read is the backbone; every
     other read (both strands) is chained to locate its offset, aligned, and
-    piled up (reference utils.py:125-181)."""
+    piled up (reference utils.py:125-181; note the reference's forward-strand
+    branch re-aligns the backbone to itself — utils.py:150-151 — which this
+    implementation corrects by aligning the actual read)."""
     seq0 = seqs[0]
     sh0 = get_shimmers_from_seq(seq0, rid=0, levels=levels)
     tags = []

@@ -169,11 +169,10 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         if n <= 2 or n > cfg.ovlp_upper:
             continue
         ys = y0a[b.start:b.end]
-        y1s = y1a[b.start:b.end]
         dirs = dira[b.start:b.end]
         pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
         order = np.argsort(-pos, kind="stable")  # descending position
-        ys, y1s, dirs, pos = ys[order], y1s[order], dirs[order], pos[order]
+        ys, dirs, pos = ys[order], dirs[order], pos[order]
 
         contained = np.zeros(n, dtype=bool)
         for ai in range(n - 2, -1, -1):
