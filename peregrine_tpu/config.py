@@ -48,8 +48,9 @@ class AsmConfig:
     # --- TPU execution knobs (no reference analog; device-side batching)
     sketch_pad_len: int = 1 << 15   # pad reads to multiples of this for sketch batches
     sketch_batch: int = 64          # reads per device sketch batch
-    aln_batch: int = 128            # alignments per device alignment batch
+    aln_batch: int = 1024           # alignments per device alignment batch
     aln_max_len: int = 1 << 15      # max sequence length per device alignment lane
+    use_device_aligner: bool = False  # overlap confirmation on device (Myers batch)
 
     def replace(self, **kw) -> "AsmConfig":
         return dataclasses.replace(self, **kw)

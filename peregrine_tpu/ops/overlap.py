@@ -349,8 +349,11 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
 
     lengths = db.lengths
+    # One speculative request per RID PAIR, taken at its first occurrence
+    # in replay (sorted-bucket) order — mirroring the global rid-pair dedup
+    # that lets the reference align each pair once (src/shmr_overlap.c:101-107).
     requests: list[tuple] = []        # (rid0, pos0, s0, rid1, pos1, s1)
-    seen_req: set = set()
+    seen_pairs: set = set()
     for b in _bucket_runs(key0, key1):
         n = b.end - b.start
         if n <= 2 or n > cfg.ovlp_upper:
@@ -367,11 +370,11 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 rid1 = int(ys[ci] >> np.uint64(32))
                 if rid1 == rid0:
                     continue
-                req = (rid0, int(pos[ai]) + 1, int(dirs[ai]),
-                       rid1, int(pos[ci]) + 1, int(dirs[ci]))
-                if req not in seen_req:
-                    seen_req.add(req)
-                    requests.append(req)
+                ridp = (rid0 << 32) | rid1 if rid0 < rid1 else (rid1 << 32) | rid0
+                if ridp not in seen_pairs:
+                    seen_pairs.add(ridp)
+                    requests.append((rid0, int(pos[ai]) + 1, int(dirs[ai]),
+                                     rid1, int(pos[ci]) + 1, int(dirs[ci])))
                 hit += 1
                 if hit >= spec_window:
                     break

@@ -97,17 +97,22 @@ class Assembly:
         path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
         if not _stage_done(path):
             t0 = time.time()
-            if n_workers is None:
-                n_workers = 1 if len(self.db) < 2000 else (os.cpu_count() or 1)
-            n_chunks = n_chunks or n_workers
-            level = self.cfg.levels
-            prefix = os.path.join(self.outdir, "1-index", "shmr")
-            ovlps = overlap_all(
-                self.db, self.idx, self.cfg,
-                n_chunks=n_chunks, n_workers=n_workers,
-                seqdb_prefix=os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
-                mm_paths=[f"{prefix}-L{level}-01-of-01.dat"],
-                mc_paths=[f"{prefix}-L{level}-MC-01-of-01.dat"])
+            if self.cfg.use_device_aligner:
+                from ..ops.overlap import overlap_chunk_device
+                ovlps = overlap_chunk_device(self.db, self.idx, self.cfg,
+                                             batch=self.cfg.aln_batch)
+            else:
+                if n_workers is None:
+                    n_workers = 1 if len(self.db) < 2000 else (os.cpu_count() or 1)
+                n_chunks = n_chunks or n_workers
+                level = self.cfg.levels
+                prefix = os.path.join(self.outdir, "1-index", "shmr")
+                ovlps = overlap_all(
+                    self.db, self.idx, self.cfg,
+                    n_chunks=n_chunks, n_workers=n_workers,
+                    seqdb_prefix=os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
+                    mm_paths=[f"{prefix}-L{level}-01-of-01.dat"],
+                    mc_paths=[f"{prefix}-L{level}-MC-01-of-01.dat"])
             lines = ovlps_to_text(ovlps)
             _write_lines(path, lines + ["-"])
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs)",
