@@ -63,10 +63,9 @@ def _block_update(pv, mv, eq, hin):
     return pv_new, mv_new, hout
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "unroll"))
-def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
-                t_codes: jnp.ndarray, t_lens: jnp.ndarray, *, nb: int = 8,
-                unroll: int = 32):
+def _myers_core(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
+                t_codes: jnp.ndarray, t_lens: jnp.ndarray, *, nb: int,
+                unroll: int):
     """Align a batch of anchored pairs.
 
     Args:
@@ -208,6 +207,42 @@ def myers_batch(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
     q_end = jnp.where(use_te, q_lens, best_qe_row)
     t_end = jnp.where(use_te, st["best_te_j"], t_lens)
     return dist, q_end, t_end
+
+
+myers_batch = jax.jit(_myers_core, static_argnames=("nb", "unroll"))
+
+# 4-bit nibble -> 2-bit code lookup (io.seqdb nibble semantics; 7 = no-match)
+_NIB2CODE_DEV = np.full(16, 7, np.uint8)
+for _nib, _code in ((1, 0), (2, 1), (4, 2), (8, 3)):
+    _NIB2CODE_DEV[_nib] = _code
+
+
+@functools.partial(jax.jit, static_argnames=("L", "nb", "unroll"))
+def myers_batch_db(seqdb: jnp.ndarray,
+                   q_off: jnp.ndarray, q_lens: jnp.ndarray, q_strand: jnp.ndarray,
+                   t_off: jnp.ndarray, t_lens: jnp.ndarray, t_strand: jnp.ndarray,
+                   *, L: int, nb: int = 8, unroll: int = 32):
+    """Myers batch with a device-resident packed seqdb.
+
+    The 4-bit dual-strand seqdb lives in HBM once; per batch only
+    (offset, length, strand) triplets cross the host link, and the code
+    windows are gathered + nibble-decoded on device (the TPU analog of the
+    reference's shared read-only mmap, SURVEY.md §2.3).
+    """
+    table = jnp.asarray(_NIB2CODE_DEV)
+
+    def fetch(off, lens, strand):
+        B = off.shape[0]
+        idx = off[:, None] + jnp.arange(L, dtype=jnp.int64)[None, :]
+        raw = jnp.take(seqdb, jnp.clip(idx, 0, seqdb.shape[0] - 1), axis=0)
+        nib = jnp.where(strand[:, None] == 0, raw & 0xF, raw >> 4)
+        codes = jnp.take(table, nib.astype(jnp.int32), axis=0)
+        inlen = jnp.arange(L)[None, :] < lens[:, None]
+        return jnp.where(inlen, codes, jnp.uint8(7))
+
+    qc = fetch(q_off.astype(jnp.int64), q_lens, q_strand)
+    tc = fetch(t_off.astype(jnp.int64), t_lens, t_strand)
+    return _myers_core(qc, q_lens, tc, t_lens, nb=nb, unroll=unroll)
 
 
 def myers_batch_np(qs: list[np.ndarray], ts: list[np.ndarray],

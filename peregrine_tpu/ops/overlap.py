@@ -342,7 +342,6 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     aligner.  Accept decisions are identical to overlap_chunk up to the
     aligner's documented dist/endpoint differences.
     """
-    from ..io.seqdb import packed_to_codes
 
     key0, key1, y0a, y1a, dira = build_pairs(
         idx, db.lengths, chunk, total_chunk,
@@ -379,33 +378,39 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 if hit >= spec_window:
                     break
 
-    # batch-align all speculative requests with STATIC shapes: requests are
-    # bucketed by pow2 of max(q, t) length and every batch is padded to
-    # exactly (batch, pad) so each bucket compiles once
+    # batch-align all speculative requests with STATIC shapes: the packed
+    # seqdb is uploaded to device HBM once (the TPU analog of the
+    # reference's shared mmap); per batch only (offset, len, strand)
+    # triplets cross the host link.  Requests are bucketed by pow2 of
+    # max(q, t) length so each bucket compiles once.
     import jax
     import jax.numpy as jnp
 
-    from .device_align import myers_batch
+    from .device_align import myers_batch_db
 
     cache: dict[tuple, tuple] = {}
     unroll = 32 if jax.default_backend() not in ("cpu",) else 1
+    seqdb_dev = jnp.asarray(db.data)
+    offsets = db.offsets
 
     def run_batch(reqs, pad):
-        nreq = len(reqs)
-        qc = np.full((batch, pad), 7, np.uint8)
-        tc = np.full((batch, pad), 7, np.uint8)
+        qo = np.zeros(batch, np.int64)
+        to = np.zeros(batch, np.int64)
         ql = np.zeros(batch, np.int32)
         tl = np.zeros(batch, np.int32)
+        qs = np.zeros(batch, np.int32)
+        ts = np.zeros(batch, np.int32)
         for i, (rid0, pos0, s0, rid1, pos1, s1) in enumerate(reqs):
-            q = packed_to_codes(db.packed(rid0)[pos0 - pos1:], s0)
-            t = db.codes(rid1, s1)
-            qc[i, :len(q)] = q
-            tc[i, :len(t)] = t
-            ql[i] = len(q)
-            tl[i] = len(t)
+            qo[i] = int(offsets[rid0]) + pos0 - pos1
+            ql[i] = int(lengths[rid0]) - (pos0 - pos1)
+            qs[i] = s0
+            to[i] = int(offsets[rid1])
+            tl[i] = int(lengths[rid1])
+            ts[i] = s1
         d, qe, te = jax.device_get(
-            myers_batch(jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(tc),
-                        jnp.asarray(tl), nb=8, unroll=unroll))
+            myers_batch_db(seqdb_dev, jnp.asarray(qo), jnp.asarray(ql),
+                           jnp.asarray(qs), jnp.asarray(to), jnp.asarray(tl),
+                           jnp.asarray(ts), L=pad, nb=8, unroll=unroll))
         for i, req in enumerate(reqs):
             m_size = (int(qe[i]) + int(te[i]) + 2 * int(d[i])) // 2
             cache[req] = (int(d[i]), 0, int(qe[i]), 0, int(te[i]),
