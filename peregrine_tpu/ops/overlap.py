@@ -421,8 +421,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         rid0, pos0, _, rid1, pos1, _ = req
         lq = int(lengths[rid0]) - (pos0 - pos1)
         lt = int(lengths[rid1])
-        m = max(lq, lt)
-        by_len.setdefault(1 << max(10, (m - 1).bit_length()), []).append(req)
+        m = max(lq, lt, 1024)
+        by_len.setdefault(-(-m // 4096) * 4096, []).append(req)
     for pad, reqs in sorted(by_len.items()):
         for i in range(0, len(reqs), batch):
             run_batch(reqs[i:i + batch], pad)
