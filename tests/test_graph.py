@@ -97,3 +97,38 @@ def test_simple_paths_dual_symmetry():
     for (v0, w0, end) in keys:
         r = (reverse_end(end), None, None)
         assert any(k[0] == reverse_end(end) for k in keys), (v0, w0, end)
+
+
+def _utg(ug, u_edge_data, s, t, via, length=20000, score=1000):
+    ug.add_edge(s, t, via)
+    u_edge_data[(s, t, via)] = (length, score, [s, via, t], "simple")
+    rs, rt, rv = reverse_end(t), reverse_end(s), reverse_end(via)
+    ug.add_edge(rs, rt, rv)
+    u_edge_data[(rs, rt, rv)] = (length, score, [rs, rv, rt], "simple")
+
+
+def test_find_bundle_and_compound_paths():
+    from peregrine_tpu.graph.digraph import MultiDiGraph
+    from peregrine_tpu.graph.layout import construct_compound_paths, find_bundle
+
+    ug = MultiDiGraph()
+    u_edge_data = {}
+    # bubble: S -> (A | B) -> T, plus entry/exit chains
+    _utg(ug, u_edge_data, "000000001:E", "000000002:E", "000000010:E")
+    _utg(ug, u_edge_data, "000000002:E", "000000003:E", "000000011:E", score=900)
+    _utg(ug, u_edge_data, "000000002:E", "000000004:E", "000000012:E", score=800)
+    _utg(ug, u_edge_data, "000000003:E", "000000005:E", "000000013:E")
+    _utg(ug, u_edge_data, "000000004:E", "000000005:E", "000000014:E")
+    _utg(ug, u_edge_data, "000000005:E", "000000006:E", "000000015:E")
+
+    conv, data = find_bundle(ug, u_edge_data, "000000002:E", 48, 16, 500000)
+    assert conv
+    start, end, bundle_edges, length, score, depth = data
+    assert start == "000000002:E" and end == "000000005:E"
+    assert len(bundle_edges) == 4
+
+    compound = construct_compound_paths(ug, u_edge_data)
+    keys = set(compound)
+    assert ("000000002:E", "NA", "000000005:E") in keys
+    # the reverse-complement bundle must be present too
+    assert ("000000005:B", "NA", "000000002:B") in keys
