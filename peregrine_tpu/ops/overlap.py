@@ -407,10 +407,16 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
             to[i] = int(offsets[rid1])
             tl[i] = int(lengths[rid1])
             ts[i] = s1
-        d, qe, te = jax.device_get(
-            myers_batch_db(seqdb_dev, jnp.asarray(qo), jnp.asarray(ql),
-                           jnp.asarray(qs), jnp.asarray(to), jnp.asarray(tl),
-                           jnp.asarray(ts), L=pad, nb=8, unroll=unroll))
+        try:
+            d, qe, te = jax.device_get(
+                myers_batch_db(seqdb_dev, jnp.asarray(qo), jnp.asarray(ql),
+                               jnp.asarray(qs), jnp.asarray(to), jnp.asarray(tl),
+                               jnp.asarray(ts), L=pad, nb=8, unroll=unroll))
+        except Exception as e:  # device/compile failure: replay falls back
+            import logging
+            logging.getLogger("peregrine_tpu").warning(
+                "device alignment batch failed (%s); native fallback", e)
+            return
         for i, req in enumerate(reqs):
             m_size = (int(qe[i]) + int(te[i]) + 2 * int(d[i])) // 2
             cache[req] = (int(d[i]), 0, int(qe[i]), 0, int(te[i]),
