@@ -224,31 +224,31 @@ def myers_batch_db(seqdb: jnp.ndarray,
                    *, L: int, nb: int = 8, unroll: int = 32):
     """Myers batch with a device-resident packed seqdb.
 
-    The 4-bit dual-strand seqdb lives in HBM once; per batch only
-    (offset, length, strand) triplets cross the host link, and the code
-    windows are gathered + nibble-decoded on device (the TPU analog of the
-    reference's shared read-only mmap, SURVEY.md §2.3).
+    The 4-bit dual-strand seqdb lives in HBM once as [n_rows, 128] byte
+    rows; per batch only (offset, length, strand) triplets cross the host
+    link, and the code windows are gathered + nibble-decoded on device
+    (the TPU analog of the reference's shared read-only mmap,
+    SURVEY.md §2.3).
     """
+    # seqdb arrives as [n_rows, 128] byte rows (TPU tile-aligned: gathers
+    # move whole 128-byte rows with no layout padding); the sub-row offset
+    # is resolved with a two-level static-slice select (16 x 8B + 8 x 1B)
     table = jnp.asarray(_NIB2CODE_DEV)
-    # word view: gathering u32 words moves 4x fewer elements than bytes
-    n_words = seqdb.shape[0] // 4
-    seqdb_w = jax.lax.bitcast_convert_type(
-        seqdb[:n_words * 4].reshape(n_words, 4), jnp.uint32).reshape(-1)
-    nw = L // 4 + 2
+    n_rows = seqdb.shape[0]
+    nb128 = L // 128 + 2
 
     def fetch(off, lens, strand):
         B = off.shape[0]
-        w0 = (off >> 2).astype(jnp.int64)
-        widx = w0[:, None] + jnp.arange(nw, dtype=jnp.int64)[None, :]
-        words = jnp.take(seqdb_w, jnp.clip(widx, 0, n_words - 1), axis=0)
-        # unpack little-endian bytes, then shift by the sub-word offset
-        parts = [((words >> (8 * i)) & jnp.uint32(0xFF)).astype(jnp.uint8)
-                 for i in range(4)]
-        raw = jnp.stack(parts, axis=2).reshape(B, nw * 4)
-        sh = (off & 3).astype(jnp.int32)
-        raw = jax.lax.select_n(sh[:, None] * jnp.ones((1, L), jnp.int32),
-                               raw[:, 0:L], raw[:, 1:L + 1],
-                               raw[:, 2:L + 2], raw[:, 3:L + 3])
+        r0 = (off >> 7).astype(jnp.int32)
+        ridx = r0[:, None] + jnp.arange(nb128, dtype=jnp.int32)[None, :]
+        rows = jnp.take(seqdb, jnp.clip(ridx, 0, n_rows - 1), axis=0)
+        flat = rows.reshape(B, nb128 * 128)
+        s1 = ((off >> 3) & 15).astype(jnp.int32)[:, None]
+        cases8 = [flat[:, 8 * i: 8 * i + L + 8] for i in range(16)]
+        raw8 = jax.lax.select_n(jnp.broadcast_to(s1, (B, L + 8)), *cases8)
+        s2 = (off & 7).astype(jnp.int32)[:, None]
+        cases1 = [raw8[:, i: i + L] for i in range(8)]
+        raw = jax.lax.select_n(jnp.broadcast_to(s2, (B, L)), *cases1)
         nib = jnp.where(strand[:, None] == 0, raw & 0xF, raw >> 4)
         codes = jnp.take(table, nib.astype(jnp.int32), axis=0)
         inlen = jnp.arange(L)[None, :] < lens[:, None]

@@ -390,7 +390,10 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     cache: dict[tuple, tuple] = {}
     unroll = 32 if jax.default_backend() not in ("cpu",) else 1
-    seqdb_dev = jnp.asarray(db.data)
+    n_rows = -(-len(db.data) // 128)
+    rows = np.zeros((n_rows, 128), np.uint8)
+    rows.reshape(-1)[:len(db.data)] = db.data
+    seqdb_dev = jnp.asarray(rows)
     offsets = db.offsets
 
     def run_batch(reqs, pad):
