@@ -1,0 +1,102 @@
+"""Parameterized scale run for the BASELINE.md config ladder.
+
+    python scripts/scale_run.py OUTDIR --genome-mb 12 --coverage 30 \
+        [--read-len 15000] [--device-overlap] [--cpu]
+
+Simulates a seeded random genome at the requested size (real references
+need network access), assembles end-to-end, reports per-stage walls and
+final contig identity.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--genome-mb", type=float, default=12.0)
+    ap.add_argument("--coverage", type=float, default=30.0)
+    ap.add_argument("--read-len", type=int, default=15000)
+    ap.add_argument("--error", type=float, default=0.01)
+    ap.add_argument("--wrap-kb", type=int, default=40)
+    ap.add_argument("--device-overlap", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import logging
+    import numpy as np
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.io.seqdb import read_fastx, revcomp
+    from peregrine_tpu.native import dw_align
+    from peregrine_tpu.pipeline.run import Assembly
+    from simdata import random_genome, simulate_reads
+
+    rng = np.random.default_rng(42)
+    glen = int(args.genome_mb * 1e6)
+    t0 = time.time()
+    genome = random_genome(rng, glen)
+    reads, _ = simulate_reads(rng, genome, read_len=args.read_len,
+                              coverage=args.coverage, len_sd=args.read_len // 10,
+                              error=args.error, circular_wrap=args.wrap_kb * 1000)
+    print(f"simulated {len(reads)} reads "
+          f"({sum(len(s) for _, s in reads)/1e6:.0f} Mbases, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+
+    cfg = AsmConfig(sketch_pad_len=32768, sketch_batch=256,
+                    use_device_aligner=args.device_overlap)
+    asm = Assembly(args.outdir, cfg)
+    stages = []
+    for name, fn in (("seqdb", lambda: asm.build_db(reads=reads)),
+                     ("index", asm.build_shimmer_index),
+                     ("overlap", asm.build_overlaps),
+                     ("layout", asm.build_contigs),
+                     ("consensus", asm.build_consensus)):
+        t0 = time.time()
+        fn()
+        stages.append((name, round(time.time() - t0, 1)))
+        print(f"=== {name}: {stages[-1][1]}s", flush=True)
+
+    fa = os.path.join(args.outdir, "4-cns", "p_ctg_cns.fa")
+    ctgs = dict(read_fastx(fa))
+    sizes = sorted((len(v) for v in ctgs.values()), reverse=True)
+    print(f"contigs: {len(ctgs)}, sizes: {sizes[:8]}", flush=True)
+
+    g2 = genome + genome
+    longest = max(ctgs.values(), key=len)
+    for cand, tag in ((longest, "fwd"), (revcomp(longest), "rc")):
+        up = cand.upper()
+        p = -1
+        for off in (1000, 5000, 20000, 50000):
+            p = g2.find(up[off:off + 64])
+            if p >= 0:
+                p -= off
+                break
+        if p < 0:
+            continue
+        ref = g2[max(p - 200, 0):p + len(up) + 50000]
+        aln = dw_align(up, ref, 3000, get_aln_str=False)
+        if aln.aln_q_e > len(up) * 0.5:
+            print(f"{tag}: aligned {aln.aln_q_e}/{len(up)} dist={aln.dist} "
+                  f"identity={1-aln.dist/max(aln.aln_q_e,1):.6f}", flush=True)
+            break
+    print("stage walls:", dict(stages))
+
+
+if __name__ == "__main__":
+    main()
