@@ -49,6 +49,9 @@ def main(argv=None) -> int:
                      help="overlap hash chunks (default: auto)")
     asm.add_argument("--n_workers", type=int, default=None,
                      help="overlap/consensus worker processes (default: auto)")
+    asm.add_argument("--device-aligner", action="store_true",
+                     help="run overlap confirmation on the TPU (batched "
+                          "banded Myers) instead of host cores")
     asm.add_argument("-v", "--verbose", action="store_true")
 
     mp = sub.add_parser("map", help="map reads to a reference "
@@ -86,7 +89,8 @@ def main(argv=None) -> int:
             mc_upper=args.mc_upper, aln_bw=args.aln_bw,
             ovlp_upper=args.ovlp_upper, min_len=args.min_len,
             min_idt=args.min_idt, lfc=args.lfc,
-            disable_chimer_bridge_removal=args.disable_chimer_bridge_removal)
+            disable_chimer_bridge_removal=args.disable_chimer_bridge_removal,
+            use_device_aligner=args.device_aligner)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
         asm_obj.build_db(reads_list=args.reads_lst)
         if args.with_l0:
