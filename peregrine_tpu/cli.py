@@ -123,8 +123,12 @@ def main(argv=None) -> int:
         read_idx = build_index(read_db, cfg)
         rows = map_reads_to_ref(read_idx, read_db.lengths, ref_idx, cfg)
         out = sys.stdout if args.output == "-" else open(args.output, "w")
-        for r in rows:
-            print(" ".join(str(int(v)) for v in r), file=out)
+        try:
+            for r in rows:
+                print(" ".join(str(int(v)) for v in r), file=out)
+        finally:
+            if out is not sys.stdout:
+                out.close()
         return 0
 
     if args.cmd == "seqdb":

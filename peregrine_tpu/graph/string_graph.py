@@ -283,11 +283,6 @@ class GraphResult:
     sg_edge_lines: list[str] = field(default_factory=list)
 
 
-def parse_overlap_line(line: str):
-    f = line.split()
-    return f
-
-
 def generate_string_graph(overlap_lines, min_len: int = 4000,
                           min_idt: float = 96.0, lfc: bool = False,
                           disable_chimer_bridge_removal: bool = False) -> GraphResult:

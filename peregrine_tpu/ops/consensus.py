@@ -150,13 +150,14 @@ def _window_groups(mapped_rows: np.ndarray, ref_len: int,
     return groups
 
 
-def plan_windows(ref_len_total: int, mapped_rows: np.ndarray):
+def plan_windows(ref_len_total: int, mapped_rows: np.ndarray,
+                 grow: int = 50000, cap: int = 100000):
     """Contig mappings -> [(left, right, reads)] window specs with per-read
     (read_id, strand, shift) entries (reference pg_asm_cns.py:68-139)."""
     order = np.argsort(mapped_rows[:, 1], kind="stable")
     rows = mapped_rows[order]
     specs = []
-    for left, right, mapped in _window_groups(rows, ref_len_total):
+    for left, right, mapped in _window_groups(rows, ref_len_total, grow, cap):
         left = left - 1000
         assert left >= 0
         # multiple anchor offsets per (read, strand): keep distinct shifts
@@ -234,7 +235,7 @@ def stitch_segments(segments: list[bytes]) -> bytes:
     s0 = segments[0]
     stitched = [s0]
     for s1 in segments[1:]:
-        aln = dw_align(s0[-1000:], s1[:1050], 400)
+        aln = dw_align(s0[-1000:], s1[:1050], 400, get_aln_str=False)
         if aln.aln_q_e < 1000:
             stitched[-1] = stitched[-1][:-(1000 - aln.aln_q_e)]
         stitched.append(s1[aln.aln_t_e:])
@@ -260,7 +261,8 @@ def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
                          mapped_rows: np.ndarray, cfg: AsmConfig) -> bytes:
     """Polish one contig from its read mappings
     (reference pg_asm_cns.py:68-273)."""
-    specs = plan_windows(int(ref_db.lengths[ctg_rid]), mapped_rows)
+    specs = plan_windows(int(ref_db.lengths[ctg_rid]), mapped_rows,
+                         cfg.cns_window, cfg.cns_max_template)
     segments = [window_consensus(read_db, ref_db, ctg_rid, l, r, reads, cfg)
                 for l, r, reads in specs]
     return stitch_segments(segments)
@@ -276,7 +278,8 @@ def consensus_parallel(read_prefix: str, ref_prefix: str,
     import concurrent.futures as cf
     import multiprocessing as mp
 
-    plans = {rid: plan_windows(int(ref_lengths[rid]), rows)
+    plans = {rid: plan_windows(int(ref_lengths[rid]), rows,
+                               cfg.cns_window, cfg.cns_max_template)
              for rid, rows in contig_rows.items()}
     jobs = [(rid, i, spec) for rid, specs in plans.items()
             for i, spec in enumerate(specs)]

@@ -431,6 +431,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         lq = int(lengths[rid0]) - (pos0 - pos1)
         lt = int(lengths[rid1])
         m = max(lq, lt, 1024)
+        if m > cfg.aln_max_len:
+            continue  # ultra-long lanes fall back to the native aligner
         by_len.setdefault(-(-m // 4096) * 4096, []).append(req)
     for pad, reqs in sorted(by_len.items()):
         for i in range(0, len(reqs), batch):
@@ -448,4 +450,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     result = overlap_chunk(db, idx, cfg, chunk, total_chunk, rid_pairs,
                            align_fn=cached_align)
+    import logging
+    logging.getLogger("peregrine_tpu").info(
+        "device overlap: %d cached alignments, %d native fallbacks",
+        len(cache), misses[0])
     return result

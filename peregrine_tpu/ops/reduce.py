@@ -16,8 +16,6 @@ shifts + where-chains, then one stable sort for compaction.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

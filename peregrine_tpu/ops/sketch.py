@@ -39,8 +39,6 @@ Encodings (must match src/mm_sketch.c:62-68):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -75,9 +75,11 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
     n = mesh.devices.size
 
     def local(codes, lengths, rids):
-        x, y, c, _ = index_step(codes, lengths, rids, w=w, k=k, r=r,
-                                levels=levels, cap=max(256, codes.shape[1] // 8),
-                                tight_out=False)
+        sketch_cap = max(256, codes.shape[1] // 8)
+        x, y, c, c0 = index_step(codes, lengths, rids, w=w, k=k, r=r,
+                                 levels=levels, cap=sketch_cap,
+                                 tight_out=False)
+        overflow = jnp.any(c0 > sketch_cap).astype(jnp.int32)
         send_x, send_y, sent = _route_local(x, y, c, n, cap_per_pair)
         # exchange: row i of the send buffer goes to device i
         recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=True)
@@ -87,12 +89,14 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
         # bucket layout: sort received records by (hash-key, position key)
         rx, ry = jax.lax.sort((rx, ry), dimension=0, num_keys=2)
         nvalid = jnp.sum(rx != INF).astype(jnp.int32)
-        return rx[None, :], ry[None, :], nvalid[None], sent[None, :]
+        return (rx[None, :], ry[None, :], nvalid[None], sent[None, :],
+                overflow[None])
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis)),
-        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None)))
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None),
+                   P(axis)))
     return fn(codes, lengths, rids)
 
 
@@ -109,12 +113,16 @@ def sharded_index_host(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray,
         lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
         rids = np.concatenate([rids, np.zeros(pad, rids.dtype)])
     cap = cap_per_pair or max(256, (B + n - 1) // n * L // (8 * n) * 2)
-    rx, ry, nv, sent = jax.device_get(
+    rx, ry, nv, sent, overflow = jax.device_get(
         sharded_index(mesh, jnp.asarray(codes), jnp.asarray(lengths),
                       jnp.asarray(rids), w=w, k=k, r=r, levels=levels,
                       cap_per_pair=cap))
     if (sent > cap).any():
         raise ValueError(f"all_to_all capacity {cap} overflowed: {sent.max()}")
+    if overflow.any():
+        raise ValueError(
+            "sketch cap overflowed on a device shard; raise the pad length "
+            "(records would be silently truncated otherwise)")
     shards = []
     for d in range(n):
         shards.append((rx[d, :nv[d]], ry[d, :nv[d]]))

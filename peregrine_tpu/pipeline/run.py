@@ -40,9 +40,13 @@ def _stage_done(path: str) -> bool:
 
 
 def _write_lines(path: str, lines) -> None:
-    with open(path, "w") as f:
+    # checkpoint files are written atomically (tmp + rename) so a crash
+    # mid-write cannot leave a truncated file that resume trusts
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         for ln in lines:
             f.write(ln + "\n")
+    os.replace(tmp, path)
 
 
 class Assembly:
@@ -99,6 +103,9 @@ class Assembly:
             t0 = time.time()
             if self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
+                if n_chunks or n_workers:
+                    log.warning("device aligner runs in-process; "
+                                "n_chunks/n_workers ignored")
                 ovlps = overlap_chunk_device(self.db, self.idx, self.cfg,
                                              batch=self.cfg.aln_batch)
             else:
@@ -144,9 +151,10 @@ class Assembly:
         _write_lines(os.path.join(asm, "a_ctg_tiling_path"), a_lines)
 
         contigs = tiling_to_contigs(self.db, p_lines)
-        with open(fa, "w") as f:
+        with open(fa + ".tmp", "w") as f:
             for name, seq in contigs:
                 f.write(f">{name}\n{seq.decode()}\n")
+        os.replace(fa + ".tmp", fa)
         if self.with_alt and a_lines:
             # alternate (bubble-branch) contigs, reference --with-alt
             # (py/scripts/pg_run.py:359-371)
@@ -189,10 +197,11 @@ class Assembly:
             seqs = {rid: consensus_for_contig(self.db, ctg_db, rid,
                                               contig_rows[rid], self.cfg)
                     for rid in range(len(ctg_db))}
-        with open(out_fa, "w") as f:
+        with open(out_fa + ".tmp", "w") as f:
             for ctg_rid in range(len(ctg_db)):
                 f.write(f">{ctg_db.names[ctg_rid]}\n"
                         f"{seqs[ctg_rid].decode()}\n")
+        os.replace(out_fa + ".tmp", out_fa)
         log.info("stage 4 consensus done (%.1fs)", time.time() - t0)
         return out_fa
 
