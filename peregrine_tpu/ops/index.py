@@ -130,6 +130,50 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     l0xs: dict[int, np.ndarray] = {}
     l0ys: dict[int, np.ndarray] = {}
 
+    def _drain(part, handles, pad):
+        if keep_l0:
+            xl, yl, cl, x0, y0, c0 = jax.device_get(handles)
+        else:
+            cap = max(256, pad // 8)
+            xl, yl, cl, c0 = jax.device_get(handles)
+            if (c0 > cap).any() or (cl > xl.shape[1]).any():
+                codes, lens = db.padded_code_batch(part, pad)
+                xl, yl, cl, c0 = jax.device_get(index_step(
+                    jnp.asarray(codes), jnp.asarray(lens),
+                    jnp.asarray(part.astype(np.uint32)),
+                    w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=0))
+        for b, rid in enumerate(part):
+            xs[rid] = xl[b, :cl[b]]
+            ys[rid] = yl[b, :cl[b]]
+            if keep_l0:
+                l0xs[rid] = x0[b, :c0[b]]
+                l0ys[rid] = y0[b, :c0[b]]
+
+    # long sequences (contigs/references) go through the fixed-shape
+    # segmented path: one kernel shape regardless of sequence length
+    long_thresh = 2 * cfg.sketch_pad_len
+    long_sel = lengths > long_thresh
+    if long_sel.any():
+        from .reduce import reduce_flat_np
+        from .sketch import sketch_long_np
+        for rid in rids_all[long_sel]:
+            lx, ly = sketch_long_np(db.codes(rid), int(rid), cfg.w, cfg.k,
+                                    seg=cfg.sketch_pad_len)
+            if keep_l0:
+                l0xs[rid], l0ys[rid] = lx, ly
+            for _ in range(cfg.levels):
+                lx, ly = reduce_flat_np(lx, ly, cfg.r)
+            xs[rid], ys[rid] = lx, ly
+        rids_all = rids_all[~long_sel]
+        lengths = lengths[~long_sel]
+
+    # dispatch asynchronously, keep a few batches in flight so host-side
+    # packing and device compute + result pulls overlap (the remote-device
+    # round trip otherwise serializes every batch)
+    from collections import deque
+    inflight: deque = deque()
+    MAX_INFLIGHT = 8
+
     for pad, sel in _length_buckets(lengths, cfg.sketch_pad_len).items():
         batch_rids = rids_all[sel]
         bsz = max(1, min(cfg.sketch_batch, (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
@@ -145,25 +189,16 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 xl, yl, cl = x0, y0, c0
                 for _ in range(cfg.levels):
                     xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
-                xl, yl, cl = jax.device_get((xl, yl, cl))
-                x0, y0, c0 = jax.device_get((x0, y0, c0))
+                handles = (xl, yl, cl, x0, y0, c0)
             else:
-                # fused single-dispatch step with a generous static cap on
-                # the minimizer axis; re-run uncapped on (rare) overflow
                 cap = max(256, pad // 8)
-                xl, yl, cl, c0 = jax.device_get(
-                    index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
-                               levels=cfg.levels, cap=cap))
-                if (c0 > cap).any() or (cl > xl.shape[1]).any():
-                    xl, yl, cl, c0 = jax.device_get(
-                        index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
-                                   levels=cfg.levels, cap=0))
-            for b, rid in enumerate(part):
-                xs[rid] = xl[b, :cl[b]]
-                ys[rid] = yl[b, :cl[b]]
-                if keep_l0:
-                    l0xs[rid] = x0[b, :c0[b]]
-                    l0ys[rid] = y0[b, :c0[b]]
+                handles = index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
+                                     levels=cfg.levels, cap=cap)
+            inflight.append((part, handles, pad))
+            if len(inflight) > MAX_INFLIGHT:
+                _drain(*inflight.popleft())
+    while inflight:
+        _drain(*inflight.popleft())
 
     order = sorted(xs)
     x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)

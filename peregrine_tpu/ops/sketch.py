@@ -220,3 +220,64 @@ def sketch_reads_np(codes: np.ndarray, lengths: np.ndarray, rids: np.ndarray,
         ys.append(oy[b, :cnt[b]])
     return (np.concatenate(xs) if xs else np.zeros(0, np.uint64),
             np.concatenate(ys) if ys else np.zeros(0, np.uint64))
+
+
+def sketch_long_np(codes: np.ndarray, rid: int, w: int, k: int,
+                   seg: int = 1 << 15, margin: int = 1 << 12
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Sketch one long sequence (contig/reference) via fixed-shape segments.
+
+    Long inputs would otherwise compile a fresh kernel per length.  The
+    sequence is cut into `seg`-sized ownership ranges, each padded with
+    `margin` context on both sides; an emission at position p depends only
+    on stream entries within ~w+k of p, so owned emissions of the padded
+    segments equal the whole-sequence emission set (the final-held
+    minimum of a non-final segment lands in the right margin and is
+    dropped by ownership filtering; the true final-held belongs to the
+    last segment).  Validated against the single-shot kernel in tests.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    n = len(codes)
+    if n <= seg + 2 * margin:
+        pad = seg + 2 * margin
+        batch = np.full((1, pad), 4, np.uint8)
+        batch[0, :n] = codes
+        x, y, c = _jax.device_get(sketch_batch(
+            _jnp.asarray(batch), _jnp.asarray([n], np.int32),
+            _jnp.asarray([rid], np.uint32), w=w, k=k))
+        return x[0, :c[0]], y[0, :c[0]]
+
+    starts = list(range(0, n, seg))
+    B = len(starts)
+    pad = seg + 2 * margin
+    batch = np.full((B, pad), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    offs = np.zeros(B, np.int64)
+    for i, s in enumerate(starts):
+        lo = max(0, s - margin)
+        hi = min(n, s + seg + margin)
+        batch[i, :hi - lo] = codes[lo:hi]
+        lens[i] = hi - lo
+        offs[i] = lo
+    x, y, c = _jax.device_get(sketch_batch(
+        _jnp.asarray(batch), _jnp.asarray(lens),
+        _jnp.asarray(np.zeros(B, np.uint32)), w=w, k=k))
+
+    xs, ys = [], []
+    for i, s in enumerate(starts):
+        xi = x[i, :c[i]]
+        yi = y[i, :c[i]]
+        pos = ((yi & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64) \
+            + offs[i]
+        own_lo, own_hi = s, min(n, s + seg)
+        keep = (pos >= own_lo) & (pos < own_hi)
+        # reconstruct y with global positions and the real rid
+        strand = yi & np.uint64(1)
+        yg = ((np.uint64(rid) << np.uint64(32))
+              | ((pos.astype(np.uint64) << np.uint64(1))
+                 & np.uint64(0xFFFFFFFE)) | strand)
+        xs.append(xi[keep])
+        ys.append(yg[keep])
+    return np.concatenate(xs), np.concatenate(ys)

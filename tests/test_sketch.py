@@ -116,3 +116,23 @@ def test_sketch_position_strand_encoding(rng):
         assert (y >> 32) == 0            # rid
         pos = (y & 0xFFFFFFFF) >> 1
         assert 15 <= pos < len(seq)
+
+
+def test_sketch_long_matches_single_shot(rng):
+    from peregrine_tpu.ops.sketch import sketch_long_np
+    seq = random_seq(rng, 200_000)
+    codes = seq_to_codes(seq)
+    # single shot
+    import jax
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.sketch import sketch_batch
+    pad = 1 << 18
+    batch = np.full((1, pad), 4, np.uint8)
+    batch[0, :len(codes)] = codes
+    x, y, c = jax.device_get(sketch_batch(
+        jnp.asarray(batch), jnp.asarray([len(codes)], np.int32),
+        jnp.asarray([7], np.uint32), w=80, k=16))
+    want = list(zip(x[0, :c[0]].tolist(), y[0, :c[0]].tolist()))
+    gx, gy = sketch_long_np(codes, 7, 80, 16, seg=1 << 15, margin=1 << 12)
+    got = list(zip(gx.tolist(), gy.tolist()))
+    assert got == want
