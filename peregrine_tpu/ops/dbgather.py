@@ -1,0 +1,55 @@
+"""Device-resident seqdb: tile-aligned upload + on-device window gather.
+
+The packed 4-bit dual-strand seqdb is uploaded to HBM once as
+[n_rows, 128] byte rows (the TPU analog of the reference's shared
+read-only mmap, src/shmr_overlap.c:200).  Batched stages then gather
+(offset, length, strand) windows entirely on device: whole 128-byte rows
+move (no layout padding), and the sub-row offset is resolved with a
+two-level static-slice select.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 4-bit nibble -> 2-bit code (A=0 C=1 G=2 T=3); invalid nibbles -> given fill
+def _nib_table(fill: int) -> np.ndarray:
+    t = np.full(16, fill, np.uint8)
+    for nib, code in ((1, 0), (2, 1), (4, 2), (8, 3)):
+        t[nib] = code
+    return t
+
+
+def upload_seqdb(data: np.ndarray) -> jnp.ndarray:
+    """Pack raw seqdb bytes into [n_rows, 128] and move to device."""
+    n_rows = -(-len(data) // 128)
+    rows = np.zeros((n_rows, 128), np.uint8)
+    rows.reshape(-1)[:len(data)] = data
+    return jnp.asarray(rows)
+
+
+def gather_codes(seqdb_rows: jnp.ndarray, off: jnp.ndarray, lens: jnp.ndarray,
+                 strand: jnp.ndarray, L: int, fill: int) -> jnp.ndarray:
+    """[B] windows -> [B, L] 2-bit codes (padding/invalid = fill)."""
+    table = jnp.asarray(_nib_table(fill))
+    n_rows = seqdb_rows.shape[0]
+    nb128 = L // 128 + 2
+    B = off.shape[0]
+    r0 = (off >> 7).astype(jnp.int32)
+    ridx = r0[:, None] + jnp.arange(nb128, dtype=jnp.int32)[None, :]
+    rows = jnp.take(seqdb_rows, jnp.clip(ridx, 0, n_rows - 1), axis=0)
+    flat = rows.reshape(B, nb128 * 128)
+    s1 = ((off >> 3) & 15).astype(jnp.int32)[:, None]
+    cases8 = [flat[:, 8 * i: 8 * i + L + 8] for i in range(16)]
+    raw8 = jax.lax.select_n(jnp.broadcast_to(s1, (B, L + 8)), *cases8)
+    s2 = (off & 7).astype(jnp.int32)[:, None]
+    cases1 = [raw8[:, i: i + L] for i in range(8)]
+    raw = jax.lax.select_n(jnp.broadcast_to(s2, (B, L)), *cases1)
+    nib = jnp.where(strand[:, None] == 0, raw & 0xF, raw >> 4)
+    codes = jnp.take(table, nib.astype(jnp.int32), axis=0)
+    inlen = jnp.arange(L)[None, :] < lens[:, None]
+    return jnp.where(inlen, codes, jnp.uint8(fill))

@@ -27,6 +27,22 @@ from .sketch import sketch_impl
 _INF = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("L", "w", "k", "r", "levels", "cap",
+                                    "tight_out"))
+def index_step_db(seqdb_rows, offsets, lengths, rids, *, L: int, w: int,
+                  k: int, r: int, levels: int, cap: int = 0,
+                  tight_out: bool = True):
+    """index_step against a device-resident seqdb: per batch only
+    (offset, length, rid) triplets cross the host link; the code windows
+    are gathered + nibble-decoded on device (ops.dbgather)."""
+    from .dbgather import gather_codes
+    codes = gather_codes(seqdb_rows, offsets.astype(jnp.int64), lengths,
+                         jnp.zeros_like(lengths), L, fill=4)
+    return index_step(codes, lengths, rids, w=w, k=k, r=r, levels=levels,
+                      cap=cap, tight_out=tight_out)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap", "tight_out"))
 def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
                levels: int, cap: int = 0, tight_out: bool = True):
@@ -167,33 +183,49 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
         rids_all = rids_all[~long_sel]
         lengths = lengths[~long_sel]
 
-    # dispatch asynchronously, keep a few batches in flight so host-side
-    # packing and device compute + result pulls overlap (the remote-device
-    # round trip otherwise serializes every batch)
+    # dispatch asynchronously against the device-resident seqdb: per batch
+    # only offset/length/rid triplets cross the host link, and several
+    # batches stay in flight so host packing, device compute, and result
+    # pulls overlap (the remote-device round trip otherwise serializes)
     from collections import deque
+
+    from .dbgather import upload_seqdb
     inflight: deque = deque()
     MAX_INFLIGHT = 8
+    seqdb_rows = None
+    if len(rids_all) and not keep_l0:
+        seqdb_rows = upload_seqdb(db.data)
 
     for pad, sel in _length_buckets(lengths, cfg.sketch_pad_len).items():
         batch_rids = rids_all[sel]
         bsz = max(1, min(cfg.sketch_batch, (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
         for i in range(0, len(batch_rids), bsz):
             part = batch_rids[i:i + bsz]
-            codes, lens = db.padded_code_batch(part, pad)
-            args = (jnp.asarray(codes), jnp.asarray(lens),
-                    jnp.asarray(part.astype(np.uint32)))
             if keep_l0:
                 from .reduce import reduce_batch
                 from .sketch import sketch_batch
+                codes, lens = db.padded_code_batch(part, pad)
+                args = (jnp.asarray(codes), jnp.asarray(lens),
+                        jnp.asarray(part.astype(np.uint32)))
                 x0, y0, c0 = sketch_batch(*args, w=cfg.w, k=cfg.k)
                 xl, yl, cl = x0, y0, c0
                 for _ in range(cfg.levels):
                     xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
                 handles = (xl, yl, cl, x0, y0, c0)
             else:
+                npart = len(part)
+                bpad = -(-npart // 8) * 8  # few distinct batch shapes
+                off = np.zeros(bpad, np.int64)
+                lens = np.zeros(bpad, np.int32)
+                rr = np.zeros(bpad, np.uint32)
+                off[:npart] = db.offsets[part]
+                lens[:npart] = db.lengths[part]
+                rr[:npart] = part
                 cap = max(256, pad // 8)
-                handles = index_step(*args, w=cfg.w, k=cfg.k, r=cfg.r,
-                                     levels=cfg.levels, cap=cap)
+                handles = index_step_db(
+                    seqdb_rows, jnp.asarray(off), jnp.asarray(lens),
+                    jnp.asarray(rr), L=pad, w=cfg.w, k=cfg.k, r=cfg.r,
+                    levels=cfg.levels, cap=cap)
             inflight.append((part, handles, pad))
             if len(inflight) > MAX_INFLIGHT:
                 _drain(*inflight.popleft())
