@@ -211,11 +211,6 @@ def _myers_core(q_codes: jnp.ndarray, q_lens: jnp.ndarray,
 
 myers_batch = jax.jit(_myers_core, static_argnames=("nb", "unroll"))
 
-# 4-bit nibble -> 2-bit code lookup (io.seqdb nibble semantics; 7 = no-match)
-_NIB2CODE_DEV = np.full(16, 7, np.uint8)
-for _nib, _code in ((1, 0), (2, 1), (4, 2), (8, 3)):
-    _NIB2CODE_DEV[_nib] = _code
-
 
 @functools.partial(jax.jit, static_argnames=("L", "nb", "unroll"))
 def myers_batch_db(seqdb: jnp.ndarray,
@@ -230,32 +225,11 @@ def myers_batch_db(seqdb: jnp.ndarray,
     (the TPU analog of the reference's shared read-only mmap,
     SURVEY.md §2.3).
     """
-    # seqdb arrives as [n_rows, 128] byte rows (TPU tile-aligned: gathers
-    # move whole 128-byte rows with no layout padding); the sub-row offset
-    # is resolved with a two-level static-slice select (16 x 8B + 8 x 1B)
-    table = jnp.asarray(_NIB2CODE_DEV)
-    n_rows = seqdb.shape[0]
-    nb128 = L // 128 + 2
-
-    def fetch(off, lens, strand):
-        B = off.shape[0]
-        r0 = (off >> 7).astype(jnp.int32)
-        ridx = r0[:, None] + jnp.arange(nb128, dtype=jnp.int32)[None, :]
-        rows = jnp.take(seqdb, jnp.clip(ridx, 0, n_rows - 1), axis=0)
-        flat = rows.reshape(B, nb128 * 128)
-        s1 = ((off >> 3) & 15).astype(jnp.int32)[:, None]
-        cases8 = [flat[:, 8 * i: 8 * i + L + 8] for i in range(16)]
-        raw8 = jax.lax.select_n(jnp.broadcast_to(s1, (B, L + 8)), *cases8)
-        s2 = (off & 7).astype(jnp.int32)[:, None]
-        cases1 = [raw8[:, i: i + L] for i in range(8)]
-        raw = jax.lax.select_n(jnp.broadcast_to(s2, (B, L)), *cases1)
-        nib = jnp.where(strand[:, None] == 0, raw & 0xF, raw >> 4)
-        codes = jnp.take(table, nib.astype(jnp.int32), axis=0)
-        inlen = jnp.arange(L)[None, :] < lens[:, None]
-        return jnp.where(inlen, codes, jnp.uint8(7))
-
-    qc = fetch(q_off.astype(jnp.int64), q_lens, q_strand)
-    tc = fetch(t_off.astype(jnp.int64), t_lens, t_strand)
+    from .dbgather import gather_codes
+    qc = gather_codes(seqdb, q_off.astype(jnp.int64), q_lens, q_strand, L,
+                      fill=7)
+    tc = gather_codes(seqdb, t_off.astype(jnp.int64), t_lens, t_strand, L,
+                      fill=7)
     return _myers_core(qc, q_lens, tc, t_lens, nb=nb, unroll=unroll)
 
 

@@ -390,10 +390,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     cache: dict[tuple, tuple] = {}
     unroll = 32 if jax.default_backend() not in ("cpu",) else 1
-    n_rows = -(-len(db.data) // 128)
-    rows = np.zeros((n_rows, 128), np.uint8)
-    rows.reshape(-1)[:len(db.data)] = db.data
-    seqdb_dev = jnp.asarray(rows)
+    from .dbgather import upload_seqdb
+    seqdb_dev = upload_seqdb(db.data)
     offsets = db.offsets
 
     def run_batch(reqs, pad):
