@@ -132,3 +132,31 @@ def test_find_bundle_and_compound_paths():
     assert ("000000002:E", "NA", "000000005:E") in keys
     # the reverse-complement bundle must be present too
     assert ("000000005:B", "NA", "000000002:B") in keys
+
+
+def test_layout_deterministic(rng):
+    """Two runs over the same overlaps must produce byte-identical layout
+    (unlike the reference, whose set/khash iteration order varies with
+    PYTHONHASHSEED)."""
+    import numpy as np
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.index import build_index
+    from peregrine_tpu.ops.overlap import overlap_chunk, ovlps_to_text
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2000,
+                    sketch_pad_len=8192, sketch_batch=16)
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+    lines = ovlps_to_text(overlap_chunk(db, idx, cfg))
+
+    outs = []
+    for _ in range(2):
+        res = generate_string_graph(iter(lines), min_len=cfg.min_len,
+                                    min_idt=cfg.min_idt)
+        u_edge_data, ctg_rows, utg_rows, compound_rows = assemble_graph(res)
+        outs.append((res.sg_edge_lines, ctg_rows, utg_rows, compound_rows))
+    assert outs[0] == outs[1]
