@@ -214,7 +214,7 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 handles = (xl, yl, cl, x0, y0, c0)
             else:
                 npart = len(part)
-                bpad = -(-npart // 8) * 8  # few distinct batch shapes
+                bpad = bsz  # one batch shape per pad class: compile once
                 off = np.zeros(bpad, np.int64)
                 lens = np.zeros(bpad, np.int32)
                 rr = np.zeros(bpad, np.uint32)
