@@ -25,9 +25,15 @@ def _nib_table(fill: int) -> np.ndarray:
 
 
 def upload_seqdb(data: np.ndarray) -> jnp.ndarray:
-    """Pack raw seqdb bytes into [n_rows, 128] and move to device."""
+    """Pack raw seqdb bytes into [n_rows, 128] and move to device.
+
+    Row counts are padded to the next power of two: the array shape is part
+    of every downstream jit cache key, so without padding each dataset
+    would trigger a fresh (minutes-long on the remote runtime) compile.
+    """
     n_rows = -(-len(data) // 128)
-    rows = np.zeros((n_rows, 128), np.uint8)
+    n_pad = 1 << max(10, (n_rows - 1).bit_length())
+    rows = np.zeros((n_pad, 128), np.uint8)
     rows.reshape(-1)[:len(data)] = data
     return jnp.asarray(rows)
 
