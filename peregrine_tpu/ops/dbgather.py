@@ -32,7 +32,9 @@ def upload_seqdb(data: np.ndarray) -> jnp.ndarray:
     would trigger a fresh (minutes-long on the remote runtime) compile.
     """
     n_rows = -(-len(data) // 128)
-    n_pad = 1 << max(10, (n_rows - 1).bit_length())
+    # floor of 2^21 rows (256 MB) folds every small/medium dataset into one
+    # shape class; HBM is 16 GB so the padding cost is immaterial
+    n_pad = 1 << max(21, (n_rows - 1).bit_length())
     rows = np.zeros((n_pad, 128), np.uint8)
     rows.reshape(-1)[:len(data)] = data
     return jnp.asarray(rows)
