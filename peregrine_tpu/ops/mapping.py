@@ -39,7 +39,6 @@ def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
     rx, ry = ref_idx.x, ref_idx.y
     counts = read_idx.counts_for(rx >> np.uint64(8))
 
-    rows: list[tuple] = []
     n = len(rx)
     # advance to the first reference SHIMMER present in the read pair map
     s = 0
@@ -48,32 +47,54 @@ def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
     if s >= n:
         return np.zeros((0, 9), np.int64)
 
+    # precomputed int views keep the anchor walk cheap; bucket-hit
+    # emission is fully vectorized afterwards
+    ry_rid = (ry >> np.uint64(32)).astype(np.int64)
+    ry_pos = ((ry & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    rx_int = rx.astype(np.int64)  # full x keys (hash<<8|span fits int64)
+    c_int = counts.astype(np.int64)
+
+    acc: list[tuple] = []  # (ref_id, pos0, pos1, mc0, c1, a, b)
     m0 = s
     for i in range(s + 1, n):
-        c1 = int(counts[i])
+        c1 = c_int[i]
+        # c1 == 0 means the hash is absent from the read index (the
+        # reference skips on kh_get miss regardless of the bounds)
         if c1 == 0 or c1 < cfg.mc_lower or c1 > cfg.mc_upper:
             continue
-        if (int(ry[m0]) >> 32) != (int(ry[i]) >> 32):
+        if ry_rid[m0] != ry_rid[i]:
             m0 = i
             continue
-        bucket = buckets.get((int(rx[m0]), int(rx[i])))
+        bucket = buckets.get((int(rx_int[m0]), int(rx_int[i])))
         if bucket is None:
             m0 = i
             continue
-        pos0 = (int(ry[m0]) & 0xFFFFFFFF) >> 1
-        pos1 = (int(ry[i]) & 0xFFFFFFFF) >> 1
-        if ((pos1 & 0xFFFFFFF) - (pos0 & 0xFFFFFFF)) % (1 << 28) < cfg.min_anchor_dist:
+        pos0 = int(ry_pos[m0])
+        pos1 = int(ry_pos[i])
+        if ((pos1 & 0xFFFFFFF) - (pos0 & 0xFFFFFFF)) % (1 << 28) \
+                < cfg.min_anchor_dist:
             m0 = i
             continue
-        ref_id = int(ry[m0]) >> 32
-        mc0 = int(counts[m0])
-        a, b = bucket
-        for j in range(a, b):
-            read_id = int(y0a[j]) >> 32
-            read_bgn = (int(y0a[j]) & 0xFFFFFFFF) >> 1
-            read_end = (int(y1a[j]) & 0xFFFFFFFF) >> 1
-            rows.append((ref_id, pos0, pos1, read_id, read_bgn, read_end,
-                         int(dira[j]), mc0, c1))
+        acc.append((int(ry_rid[m0]), pos0, pos1, int(c_int[m0]), int(c1),
+                    bucket[0], bucket[1]))
         m0 = i
 
-    return np.asarray(rows, np.int64).reshape(-1, 9)
+    if not acc:
+        return np.zeros((0, 9), np.int64)
+    pa = np.asarray(acc, np.int64)
+    sizes = pa[:, 6] - pa[:, 5]
+    total = int(sizes.sum())
+    rep = np.repeat(np.arange(len(pa)), sizes)
+    within = np.arange(total) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+    j = pa[rep, 5] + within
+    rows = np.empty((total, 9), np.int64)
+    rows[:, 0] = pa[rep, 0]
+    rows[:, 1] = pa[rep, 1]
+    rows[:, 2] = pa[rep, 2]
+    rows[:, 3] = (y0a[j] >> np.uint64(32)).astype(np.int64)
+    rows[:, 4] = ((y0a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    rows[:, 5] = ((y1a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    rows[:, 6] = dira[j].astype(np.int64)
+    rows[:, 7] = pa[rep, 3]
+    rows[:, 8] = pa[rep, 4]
+    return rows

@@ -250,27 +250,37 @@ def sketch_long_np(codes: np.ndarray, rid: int, w: int, k: int,
         return x[0, :c[0]], y[0, :c[0]]
 
     starts = list(range(0, n, seg))
-    B = len(starts)
     pad = seg + 2 * margin
-    batch = np.full((B, pad), 4, np.uint8)
-    lens = np.zeros(B, np.int32)
-    offs = np.zeros(B, np.int64)
-    for i, s in enumerate(starts):
-        lo = max(0, s - margin)
-        hi = min(n, s + seg + margin)
-        batch[i, :hi - lo] = codes[lo:hi]
-        lens[i] = hi - lo
-        offs[i] = lo
-    x, y, c = _jax.device_get(sketch_batch(
-        _jnp.asarray(batch), _jnp.asarray(lens),
-        _jnp.asarray(np.zeros(B, np.uint32)), w=w, k=k))
+    SB = 64  # fixed batch shape: contig length must not recompile kernels
+    xparts = []
+    yparts = []
+    cparts = []
+    for b0 in range(0, len(starts), SB):
+        part = starts[b0:b0 + SB]
+        batch = np.full((SB, pad), 4, np.uint8)
+        lens = np.zeros(SB, np.int32)
+        for i, s in enumerate(part):
+            lo = max(0, s - margin)
+            hi = min(n, s + seg + margin)
+            batch[i, :hi - lo] = codes[lo:hi]
+            lens[i] = hi - lo
+        x, y, c = _jax.device_get(sketch_batch(
+            _jnp.asarray(batch), _jnp.asarray(lens),
+            _jnp.asarray(np.zeros(SB, np.uint32)), w=w, k=k))
+        xparts.append(x[:len(part)])
+        yparts.append(y[:len(part)])
+        cparts.append(c[:len(part)])
+    x = np.concatenate(xparts)
+    y = np.concatenate(yparts)
+    c = np.concatenate(cparts)
 
     xs, ys = [], []
     for i, s in enumerate(starts):
+        offs_i = max(0, s - margin)
         xi = x[i, :c[i]]
         yi = y[i, :c[i]]
         pos = ((yi & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64) \
-            + offs[i]
+            + offs_i
         own_lo, own_hi = s, min(n, s + seg)
         keep = (pos >= own_lo) & (pos < own_hi)
         # reconstruct y with global positions and the real rid
