@@ -77,24 +77,32 @@ def main():
     sizes = sorted((len(v) for v in ctgs.values()), reverse=True)
     print(f"contigs: {len(ctgs)}, sizes: {sizes[:8]}", flush=True)
 
+    # identity: exact-substring first (the greedy aligner overcounts on
+    # multi-Mb spans), then blockwise alignment with re-anchoring
     g2 = genome + genome
-    longest = max(ctgs.values(), key=len)
+    longest = max(ctgs.values(), key=len).upper()
     for cand, tag in ((longest, "fwd"), (revcomp(longest), "rc")):
-        up = cand.upper()
-        p = -1
-        for off in (1000, 5000, 20000, 50000):
-            p = g2.find(up[off:off + 64])
-            if p >= 0:
-                p -= off
-                break
+        if g2.find(cand) >= 0:
+            print(f"{tag}: EXACT substring of genome — 100% identity "
+                  f"({len(cand):,} bases)", flush=True)
+            break
+        p = g2.find(cand[1000:1064])
         if p < 0:
             continue
-        ref = g2[max(p - 200, 0):p + len(up) + 50000]
-        aln = dw_align(up, ref, 3000, get_aln_str=False)
-        if aln.aln_q_e > len(up) * 0.5:
-            print(f"{tag}: aligned {aln.aln_q_e}/{len(up)} dist={aln.dist} "
-                  f"identity={1-aln.dist/max(aln.aln_q_e,1):.6f}", flush=True)
-            break
+        p -= 1000
+        ref = g2[max(p, 0):p + len(cand) + 50000]
+        qpos = tpos = total = 0
+        while qpos < len(cand) - 1000:
+            a = dw_align(cand[qpos:qpos + 2_000_000],
+                         ref[tpos:tpos + 2_050_000], 2000, get_aln_str=False)
+            if a.aln_q_e == 0:
+                break
+            total += a.dist
+            qpos += a.aln_q_e
+            tpos += a.aln_t_e
+        print(f"{tag}: blockwise dist={total} over {qpos:,} bases "
+              f"identity={1 - total/max(qpos, 1):.9f}", flush=True)
+        break
     print("stage walls:", dict(stages))
 
 
