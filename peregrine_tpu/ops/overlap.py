@@ -348,35 +348,56 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
 
     lengths = db.lengths
-    # One speculative request per RID PAIR, taken at its first occurrence
-    # in replay (sorted-bucket) order — mirroring the global rid-pair dedup
-    # that lets the reference align each pair once (src/shmr_overlap.c:101-107).
-    requests: list[tuple] = []        # (rid0, pos0, s0, rid1, pos1, s1)
-    seen_pairs: set = set()
-    for b in _bucket_runs(key0, key1):
-        n = b.end - b.start
-        if n <= 2 or n > cfg.ovlp_upper:
-            continue
-        ys = y0a[b.start:b.end]
-        dirs = dira[b.start:b.end]
+    # --- vectorized speculative enumeration ------------------------------
+    # One request per RID PAIR at its first occurrence in replay order
+    # (buckets in canonical order; anchors walk the descending-position
+    # array tail-up, candidates forward) — mirroring the global rid-pair
+    # dedup that lets the reference align each pair once
+    # (src/shmr_overlap.c:101-107).  Pairs are generated as (i, i+d) for
+    # d <= spec_window + slack; self-read runs longer than the slack make
+    # the replay miss the cache and fall back to the native aligner.
+    runs = [(b.start, b.end) for b in _bucket_runs(key0, key1)
+            if 2 < b.end - b.start <= cfg.ovlp_upper]
+    r0a = r1a = p0a = p1a = s0a = s1a = np.zeros(0, np.int64)
+    if runs:
+        bstart = np.array([r[0] for r in runs], np.int64)
+        bsize = np.array([r[1] - r[0] for r in runs], np.int64)
+        total = int(bsize.sum())
+        excl = np.cumsum(bsize) - bsize
+        within0 = np.arange(total) - np.repeat(excl, bsize)
+        sel = np.repeat(bstart, bsize) + within0
+        bid = np.repeat(np.arange(len(runs)), bsize)
+
+        ys = y0a[sel]
+        dirs = dira[sel].astype(np.int64)
         pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
-        order = np.argsort(-pos, kind="stable")
-        ys, dirs, pos = ys[order], dirs[order], pos[order]
-        for ai in range(n - 2, -1, -1):
-            rid0 = int(ys[ai] >> np.uint64(32))
-            hit = 0
-            for ci in range(ai + 1, n):
-                rid1 = int(ys[ci] >> np.uint64(32))
-                if rid1 == rid0:
-                    continue
-                ridp = (rid0 << 32) | rid1 if rid0 < rid1 else (rid1 << 32) | rid0
-                if ridp not in seen_pairs:
-                    seen_pairs.add(ridp)
-                    requests.append((rid0, int(pos[ai]) + 1, int(dirs[ai]),
-                                     rid1, int(pos[ci]) + 1, int(dirs[ci])))
-                hit += 1
-                if hit >= spec_window:
-                    break
+        order = np.lexsort((-pos, bid))          # per-bucket descending pos
+        ys, dirs, pos, bid = ys[order], dirs[order], pos[order], bid[order]
+        rid = (ys >> np.uint64(32)).astype(np.int64)
+
+        W2 = spec_window + 4
+        cand_i, cand_j = [], []
+        for d in range(1, W2 + 1):
+            i0 = np.arange(total - d)
+            okb = bid[i0] == bid[i0 + d]
+            cand_i.append(i0[okb])
+            cand_j.append(i0[okb] + d)
+        ii = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int64)
+        jj = np.concatenate(cand_j) if cand_j else np.zeros(0, np.int64)
+        keep = rid[ii] != rid[jj]
+        ii, jj = ii[keep], jj[keep]
+        # replay order: (bucket asc, anchor index desc, candidate asc)
+        orderp = np.lexsort((jj, -ii, bid[ii]))
+        ii, jj = ii[orderp], jj[orderp]
+        lo = np.minimum(rid[ii], rid[jj]).astype(np.uint64)
+        hi = np.maximum(rid[ii], rid[jj]).astype(np.uint64)
+        ridp = (lo << np.uint64(32)) | hi
+        _, first_idx = np.unique(ridp, return_index=True)
+        keep = np.sort(first_idx)
+        ii, jj = ii[keep], jj[keep]
+        r0a, r1a = rid[ii], rid[jj]
+        p0a, p1a = pos[ii] + 1, pos[jj] + 1
+        s0a, s1a = dirs[ii], dirs[jj]
 
     # batch-align all speculative requests with STATIC shapes: the packed
     # seqdb is uploaded to device HBM once (the TPU analog of the
@@ -394,47 +415,43 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     seqdb_dev = upload_seqdb(db.data)
     offsets = db.offsets
 
-    def run_batch(reqs, pad):
-        qo = np.zeros(batch, np.int64)
-        to = np.zeros(batch, np.int64)
-        ql = np.zeros(batch, np.int32)
-        tl = np.zeros(batch, np.int32)
-        qs = np.zeros(batch, np.int32)
-        ts = np.zeros(batch, np.int32)
-        for i, (rid0, pos0, s0, rid1, pos1, s1) in enumerate(reqs):
-            qo[i] = int(offsets[rid0]) + pos0 - pos1
-            ql[i] = int(lengths[rid0]) - (pos0 - pos1)
-            qs[i] = s0
-            to[i] = int(offsets[rid1])
-            tl[i] = int(lengths[rid1])
-            ts[i] = s1
+    # fully-vectorized request fields
+    qo_all = offsets[r0a] + p0a - p1a
+    ql_all = lengths[r0a] - (p0a - p1a)
+    to_all = offsets[r1a]
+    tl_all = lengths[r1a]
+    mlen = np.maximum(np.maximum(ql_all, tl_all), 1024)
+    in_cap = mlen <= cfg.aln_max_len  # ultra-long lanes use native fallback
+    pad_class = (-(-mlen // 4096) * 4096).astype(np.int64)
+
+    def run_batch(idxs, pad):
+        nreq = len(idxs)
+        def col(src, dtype):
+            a = np.zeros(batch, dtype)
+            a[:nreq] = src[idxs]
+            return jnp.asarray(a)
         try:
-            d, qe, te = jax.device_get(
-                myers_batch_db(seqdb_dev, jnp.asarray(qo), jnp.asarray(ql),
-                               jnp.asarray(qs), jnp.asarray(to), jnp.asarray(tl),
-                               jnp.asarray(ts), L=pad, nb=8, unroll=unroll))
+            d, qe, te = jax.device_get(myers_batch_db(
+                seqdb_dev, col(qo_all, np.int64), col(ql_all, np.int32),
+                col(s0a, np.int32), col(to_all, np.int64),
+                col(tl_all, np.int32), col(s1a, np.int32),
+                L=pad, nb=8, unroll=unroll))
         except Exception as e:  # device/compile failure: replay falls back
             import logging
             logging.getLogger("peregrine_tpu").warning(
                 "device alignment batch failed (%s); native fallback", e)
             return
-        for i, req in enumerate(reqs):
-            m_size = (int(qe[i]) + int(te[i]) + 2 * int(d[i])) // 2
-            cache[req] = (int(d[i]), 0, int(qe[i]), 0, int(te[i]),
-                          m_size, int(qe[i]), int(te[i]))
+        m_size = (qe[:nreq] + te[:nreq] + 2 * d[:nreq]) // 2
+        for i, g in enumerate(idxs):
+            cache[(int(r0a[g]), int(p0a[g]), int(s0a[g]),
+                   int(r1a[g]), int(p1a[g]), int(s1a[g]))] = (
+                int(d[i]), 0, int(qe[i]), 0, int(te[i]),
+                int(m_size[i]), int(qe[i]), int(te[i]))
 
-    by_len: dict[int, list] = {}
-    for req in requests:
-        rid0, pos0, _, rid1, pos1, _ = req
-        lq = int(lengths[rid0]) - (pos0 - pos1)
-        lt = int(lengths[rid1])
-        m = max(lq, lt, 1024)
-        if m > cfg.aln_max_len:
-            continue  # ultra-long lanes fall back to the native aligner
-        by_len.setdefault(-(-m // 4096) * 4096, []).append(req)
-    for pad, reqs in sorted(by_len.items()):
-        for i in range(0, len(reqs), batch):
-            run_batch(reqs[i:i + batch], pad)
+    for pad in np.unique(pad_class[in_cap]):
+        idxs = np.flatnonzero(in_cap & (pad_class == pad))
+        for i in range(0, len(idxs), batch):
+            run_batch(idxs[i:i + batch], int(pad))
 
     misses = [0]
 
