@@ -11,15 +11,21 @@
 //     wraps high and sorts last within a ctag's predecessors);
 //   * backtrack emits bases, lowercased where coverage <= min_cov.
 //
-// Unlike the reference's khash-of-khash, edges are a sorted flat vector —
-// counting is a sort + run-length pass.
+// Unlike the reference's khash-of-khash, each tag pair is one packed
+// uint64 whose bit layout makes lexicographic (ctag, ptag) order equal
+// integer order; pairs are counting-sorted by template position with tiny
+// within-bucket sorts, and the DP resolves predecessors by binary search
+// inside the (t_pos-1, t_pos) node ranges — no hash maps anywhere.  The
+// predecessor of a tag is always at t_pos or t_pos-1 (alignment columns
+// advance the template by 0 or 1), so two bits encode its position:
+// prel 0 = t_pos-1, 1 = t_pos, 2 = the -1 sentinel (which in the
+// reference's uint32 key wraps high and sorts last).
 
 #include <algorithm>
 #include <cctype>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -47,21 +53,40 @@ struct CnsResult {
 
 namespace {
 
-constexpr uint64_t kSentinelBase = '.';
+// Base codes preserving ASCII order among the consensus alphabet
+// '-'(45) < '.'(46) < 'A' < 'C' < 'G' < 'T'; anything else (never produced
+// by the 4-bit codec) sorts last.
+inline uint32_t base_code(uint8_t b) {
+  switch (b) {
+    case '-': return 0;
+    case '.': return 1;
+    case 'A': return 2;
+    case 'C': return 3;
+    case 'G': return 4;
+    case 'T': return 5;
+    default: return 6;
+  }
+}
+constexpr char kCodeBase[8] = {'-', '.', 'A', 'C', 'G', 'T', 'N', 'N'};
 
-inline uint64_t tag_key(int64_t t_pos, uint32_t delta, uint8_t base) {
-  return (uint64_t)((uint32_t)t_pos) << 32 | (uint64_t)(delta & 0xFFFFFF) << 8 |
-         base;
+// Packed tag-pair key, low to high bits:
+//   p_base:3 | p_delta:8 | prel:2 | base:3 | delta:8 | t_pos:40
+// Integer order == the reference's ((t_pos, delta, base), ptag-key) order.
+inline uint64_t pack_pair(int64_t t_pos, uint32_t delta, uint8_t base,
+                          int64_t p_t_pos, uint32_t p_delta, uint8_t p_base) {
+  const uint64_t prel = p_t_pos < 0 ? 2u : (p_t_pos == t_pos ? 1u : 0u);
+  return (uint64_t)t_pos << 24 | (uint64_t)(delta & 0xFF) << 16 |
+         (uint64_t)base_code(base) << 13 | prel << 11 |
+         (uint64_t)(p_delta & 0xFF) << 3 | base_code(p_base);
 }
 
-struct TagPair {
-  uint64_t ctag, ptag;
-};
+// node id = key >> 13:  base:3 | delta:8 | t_pos:40
+constexpr int kNodeShift = 13;
 
-// Accumulate one alignment's tags (reference falcon.c:67-122 plus the
-// leading-deletion skip at falcon.c:304-310).
+// Accumulate one alignment's packed tag pairs (reference falcon.c:67-122
+// plus the leading-deletion skip at falcon.c:304-310).
 void add_tags(const char *q_aln, const char *t_aln, coor n, coor s1, coor s2,
-              coor t_offset, std::vector<TagPair> *pairs,
+              coor t_offset, std::vector<uint64_t> *pairs,
               std::vector<int32_t> *coverage) {
   int64_t i = s1 - 1, j = s2 - 1;
   uint32_t jj = 0, p_jj = 0;
@@ -83,8 +108,8 @@ void add_tags(const char *q_aln, const char *t_aln, coor n, coor s1, coor s2,
         // leading-deletion columns skipped
       } else {
         started = true;
-        pairs->push_back({tag_key(j + t_offset, jj, (uint8_t)qb),
-                          tag_key(p_j + t_offset, p_jj, p_q)});
+        pairs->push_back(pack_pair(j + t_offset, jj, (uint8_t)qb,
+                                   p_j + t_offset, p_jj, p_q));
         if (jj == 0) (*coverage)[j + t_offset]++;
       }
       p_j = j;
@@ -108,7 +133,7 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
                   const char **read_seqs, const int32_t *read_lens,
                   const int32_t *shifts, int32_t n_reads, int32_t band,
                   int32_t min_cov, CnsResult *out) {
-  std::vector<TagPair> pairs;
+  std::vector<uint64_t> pairs;
   std::vector<int32_t> coverage(ref_len + 2, 0);
   pairs.reserve((size_t)ref_len * 4);
 
@@ -156,82 +181,108 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
     return;
   }
 
-  // count edges: sort (ctag, ptag) pairs, run-length
-  std::sort(pairs.begin(), pairs.end(), [](const TagPair &a, const TagPair &b) {
-    return a.ctag != b.ctag ? a.ctag < b.ctag : a.ptag < b.ptag;
-  });
+  // counting sort by t_pos (key >> 24), then sort each small bucket
+  const size_t n_pairs = pairs.size();
+  const int32_t n_pos = ref_len + 2;
+  std::vector<uint32_t> bucket_start(n_pos + 1, 0);
+  for (size_t k = 0; k < n_pairs; k++) bucket_start[(pairs[k] >> 24) + 1]++;
+  for (int32_t p = 0; p < n_pos; p++) bucket_start[p + 1] += bucket_start[p];
+  std::vector<uint64_t> sorted(n_pairs);
+  {
+    std::vector<uint32_t> cursor(bucket_start.begin(), bucket_start.end() - 1);
+    for (size_t k = 0; k < n_pairs; k++)
+      sorted[cursor[pairs[k] >> 24]++] = pairs[k];
+  }
+  pairs.clear();
+  pairs.shrink_to_fit();
+  for (int32_t p = 0; p < n_pos; p++)
+    std::sort(sorted.begin() + bucket_start[p],
+              sorted.begin() + bucket_start[p + 1]);
 
-  std::unordered_map<uint64_t, size_t> node_of;
-  node_of.reserve(pairs.size() / 2);
-  std::vector<double> best_score;
-  std::vector<uint64_t> best_ptag;
-  std::vector<uint64_t> node_key;
+  // DP over ctags in ascending key order; nodes are appended in that same
+  // order, so per-t_pos node ranges replace the reference's hash lookups.
+  std::vector<uint64_t> node_ckey;
+  std::vector<double> node_score;
+  std::vector<int32_t> node_pred;
+  node_ckey.reserve(n_pairs / 4);
+  node_score.reserve(n_pairs / 4);
+  node_pred.reserve(n_pairs / 4);
+  std::vector<uint32_t> node_start(n_pos + 1, 0);
 
   double global_best = 0.0;
   int64_t global_best_node = -1;
+  int32_t prev_pos = -1;
 
   size_t i = 0;
-  while (i < pairs.size()) {
-    size_t jdx = i;
-    const uint64_t ctag = pairs[i].ctag;
-    const int32_t t_pos = (int32_t)(ctag >> 32);
-    while (jdx < pairs.size() && pairs[jdx].ctag == ctag) {
-      size_t k = jdx;
-      while (k < pairs.size() && pairs[k].ctag == ctag &&
-             pairs[k].ptag == pairs[jdx].ptag)
-        k++;
-      const uint32_t count = (uint32_t)(k - jdx);
-      const uint64_t ptag = pairs[jdx].ptag;
-      const double score = (double)count - 0.5 * ((double)coverage[t_pos] - 1);
+  while (i < n_pairs) {
+    const uint64_t ckey = sorted[i] >> kNodeShift;
+    const int32_t t_pos = (int32_t)(ckey >> 11);
+    if (t_pos != prev_pos) {
+      for (int32_t p = prev_pos + 1; p <= t_pos; p++)
+        node_start[p] = (uint32_t)node_ckey.size();
+      prev_pos = t_pos;
+    }
+    const size_t ni = node_ckey.size();
+    node_ckey.push_back(ckey);
+    node_score.push_back(0.0);
+    node_pred.push_back(-1);
+    bool first = true;
 
-      auto it = node_of.find(ctag);
-      size_t ni;
-      if (it == node_of.end()) {
-        ni = node_key.size();
-        node_of.emplace(ctag, ni);
-        node_key.push_back(ctag);
-        best_score.push_back(score);
-        best_ptag.push_back(ptag);
-      } else {
-        ni = it->second;
+    while (i < n_pairs && (sorted[i] >> kNodeShift) == ckey) {
+      const uint64_t key = sorted[i];
+      size_t k = i;
+      while (k < n_pairs && sorted[k] == key) k++;
+      const double score =
+          (double)(k - i) - 0.5 * ((double)coverage[t_pos] - 1);
+
+      // resolve predecessor node index
+      int32_t pred = -1;
+      const uint32_t prel = (uint32_t)(key >> 11) & 3;
+      if (prel != 2 && (key & 7) != 1 /* '.' */) {
+        const int64_t p_pos = prel == 1 ? t_pos : t_pos - 1;
+        const uint64_t pkey =
+            (uint64_t)p_pos << 11 | ((key >> 3) & 0xFF) << 3 | (key & 7);
+        const uint32_t lo = node_start[p_pos];
+        const uint32_t hi = prel == 1 ? (uint32_t)ni : node_start[t_pos];
+        auto it = std::lower_bound(node_ckey.begin() + lo,
+                                   node_ckey.begin() + hi, pkey);
+        if (it != node_ckey.begin() + hi && *it == pkey)
+          pred = (int32_t)(it - node_ckey.begin());
       }
 
-      if ((char)(ptag & 0xFF) != '.') {
-        auto pit = node_of.find(ptag);
-        if (pit != node_of.end()) {
-          const double new_score = score + best_score[pit->second];
-          if (new_score > best_score[ni]) {
-            best_score[ni] = new_score;
-            best_ptag[ni] = ptag;
-            if (new_score > global_best) {
-              global_best = new_score;
-              global_best_node = (int64_t)ni;
-            }
+      if (first) {
+        node_score[ni] = score;
+        node_pred[ni] = pred;
+        first = false;
+      }
+      if (pred >= 0) {
+        const double new_score = score + node_score[pred];
+        if (new_score > node_score[ni]) {
+          node_score[ni] = new_score;
+          node_pred[ni] = pred;
+          if (new_score > global_best) {
+            global_best = new_score;
+            global_best_node = (int64_t)ni;
           }
         }
       }
-      jdx = k;
+      i = k;
     }
-    i = jdx;
   }
 
   std::vector<char> cns;
   cns.reserve(ref_len + 16);
   if (global_best_node >= 0) {
-    size_t ni = (size_t)global_best_node;
-    for (;;) {
-      const uint64_t ctag = node_key[ni];
-      const int32_t t_pos = (int32_t)(ctag >> 32);
-      const char base = (char)(ctag & 0xFF);
+    int64_t ni = global_best_node;
+    while (ni >= 0) {
+      const uint64_t ckey = node_ckey[ni];
+      const int32_t t_pos = (int32_t)(ckey >> 11);
+      const char base = kCodeBase[ckey & 7];
       if (base != '-') {
         cns.push_back(coverage[t_pos] > min_cov ? base
                                                 : (char)std::tolower(base));
       }
-      const uint64_t ptag = best_ptag[ni];
-      if ((char)(ptag & 0xFF) == '.') break;
-      auto it = node_of.find(ptag);
-      if (it == node_of.end()) break;
-      ni = it->second;
+      ni = node_pred[ni];
     }
     std::reverse(cns.begin(), cns.end());
   }
