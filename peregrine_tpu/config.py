@@ -44,6 +44,8 @@ class AsmConfig:
     cns_min_cov: int = 1         # min coverage for uppercase consensus base
     cns_window: int = 50000      # window growth limit (pg_asm_cns.py:77)
     cns_max_template: int = 100000  # max consensus template size
+    alt_cns_min_size: int = 500000  # a_ctg.fa size gate for the alt polish
+    #                                 pass (py/scripts/pg_run.py:623-624)
 
     # --- TPU execution knobs (no reference analog; device-side batching)
     sketch_pad_len: int = 1 << 15   # pad reads to multiples of this for sketch batches

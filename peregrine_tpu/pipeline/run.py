@@ -168,17 +168,32 @@ class Assembly:
 
     # --- stage 4: mapping + consensus polish ----------------------------
     def build_consensus(self, n_workers: int | None = None) -> str:
+        out = self._polish("p_ctg.fa", "4-cns", "p_ctg_cns.fa", n_workers)
+        if self.with_alt:
+            # alt-contig polish pass: reference reruns the whole consensus
+            # stage against a_ctg.fa when it is non-trivial (>500 kB)
+            # (py/scripts/pg_run.py:622-633)
+            a_fa = os.path.join(self.outdir, "3-asm", "a_ctg.fa")
+            if (os.path.exists(a_fa)
+                    and os.stat(a_fa).st_size > self.cfg.alt_cns_min_size):
+                self._polish("a_ctg.fa", "4-cns-alt", "a_ctg_cns.fa",
+                             n_workers)
+        return out
+
+    def _polish(self, ctg_fa: str, cns_subdir: str, out_name: str,
+                n_workers: int | None = None) -> str:
         from ..ops.consensus import consensus_for_contig, consensus_parallel
         from ..ops.mapping import map_reads_to_ref
 
-        cns_dir = os.path.join(self.outdir, "4-cns")
-        out_fa = os.path.join(cns_dir, "p_ctg_cns.fa")
+        cns_dir = os.path.join(self.outdir, cns_subdir)
+        os.makedirs(cns_dir, exist_ok=True)
+        out_fa = os.path.join(cns_dir, out_name)
         if _stage_done(out_fa):
             return out_fa
         t0 = time.time()
-        ctg_prefix = os.path.join(cns_dir, "p_ctg")
+        ctg_prefix = os.path.join(cns_dir, "ctg")
         ctg_db = SeqDB.from_reads(
-            read_fastx(os.path.join(self.outdir, "3-asm", "p_ctg.fa")))
+            read_fastx(os.path.join(self.outdir, "3-asm", ctg_fa)))
         ctg_db.save(ctg_prefix)
         ctg_idx = build_index(ctg_db, self.cfg)
         rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg)

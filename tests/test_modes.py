@@ -57,3 +57,29 @@ def test_with_alt_contigs(tmp_path, rng):
     asm.run_draft(reads=reads)
     # bubble may resolve into alternates; the a_ctg tiling file must exist
     assert os.path.exists(str(tmp_path / "wd/3-asm/a_ctg_tiling_path"))
+
+
+def test_alt_consensus_polish(tmp_path, rng):
+    """--with-alt runs a second consensus pass over a_ctg.fa into
+    4-cns-alt/a_ctg_cns.fa when it passes the size gate
+    (reference py/scripts/pg_run.py:622-633)."""
+    import shutil
+
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=14.0,
+                              circular_wrap=4000)
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                    sketch_pad_len=8192, sketch_batch=16,
+                    alt_cns_min_size=0)
+    asm = Assembly(str(tmp_path / "wd"), cfg, with_alt=True)
+    fa = asm.run_draft(reads=reads)
+    # ensure an alt contig set exists regardless of bubble resolution:
+    # the polish pass only depends on the file, not on how it was derived
+    a_fa = str(tmp_path / "wd/3-asm/a_ctg.fa")
+    if not (os.path.exists(a_fa) and os.stat(a_fa).st_size > 0):
+        shutil.copy(fa, a_fa)
+    asm.build_consensus()
+    out = str(tmp_path / "wd/4-cns-alt/a_ctg_cns.fa")
+    assert os.path.exists(out)
+    cns = dict(read_fastx(out))
+    assert cns and max(len(s) for s in cns.values()) > 0.5 * len(genome)
