@@ -19,8 +19,6 @@ src/shmr_utils.c:295-404):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..config import AsmConfig
@@ -119,18 +117,13 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
     return key0[order], key1[order], y0[order], y1[order], direction[order]
 
 
-@dataclass
-class _Bucket:
-    start: int
-    end: int
-
-
-def _bucket_runs(key0: np.ndarray, key1: np.ndarray) -> list[_Bucket]:
+def _bucket_bounds(key0: np.ndarray, key1: np.ndarray):
+    """Bucket (start, end) arrays over the sorted composite key."""
     if len(key0) == 0:
-        return []
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     change = np.flatnonzero((key0[1:] != key0[:-1]) | (key1[1:] != key1[:-1])) + 1
-    bounds = np.concatenate([[0], change, [len(key0)]])
-    return [_Bucket(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+    bounds = np.concatenate([[0], change, [len(key0)]]).astype(np.int64)
+    return bounds[:-1], bounds[1:]
 
 
 def _native_align(db: SeqDB, cfg: AsmConfig, rid0: int, pos0: int,
@@ -148,15 +141,16 @@ def _native_align(db: SeqDB, cfg: AsmConfig, rid0: int, pos0: int,
 def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                   chunk: int = 1, total_chunk: int = 1,
                   rid_pairs: dict | None = None,
-                  align_fn=None) -> np.ndarray:
+                  align_fn=None, pairs=None) -> np.ndarray:
     """Detect overlaps for one hash shard; returns OVLP_DTYPE records.
 
     Sequential accept semantics per bucket mirror shimmer_to_overlap
     (src/shmr_overlap.c:52-180); rid_pairs persists across buckets (and can
     be shared across chunks by the caller for global dedup).  align_fn may
-    replace the native aligner (e.g. a device-batch cache).
+    replace the native aligner (e.g. a device-batch cache); pairs may pass
+    precomputed build_pairs output to share with a speculative phase.
     """
-    key0, key1, y0a, y1a, dira = build_pairs(
+    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
         idx, db.lengths, chunk, total_chunk,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
     rid_pairs = {} if rid_pairs is None else rid_pairs
@@ -164,12 +158,13 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     fuzz = cfg.read_end_fuzz
     out: list[tuple] = []
 
-    for b in _bucket_runs(key0, key1):
-        n = b.end - b.start
-        if n <= 2 or n > cfg.ovlp_upper:
-            continue
-        ys = y0a[b.start:b.end]
-        dirs = dira[b.start:b.end]
+    starts, ends = _bucket_bounds(key0, key1)
+    sizes = ends - starts
+    okb = (sizes > 2) & (sizes <= cfg.ovlp_upper)
+    for s, e in zip(starts[okb].tolist(), ends[okb].tolist()):
+        n = e - s
+        ys = y0a[s:e]
+        dirs = dira[s:e]
         pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
         order = np.argsort(-pos, kind="stable")  # descending position
         ys, dirs, pos = ys[order], dirs[order], pos[order]
@@ -332,6 +327,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
                          rid_pairs: dict | None = None,
                          spec_window: int = 8,
+                         spec_per_pair: int = 1,
                          batch: int = 1024) -> np.ndarray:
     """Overlap detection with device-batched alignment.
 
@@ -343,9 +339,12 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     aligner's documented dist/endpoint differences.
     """
 
+    import time as _time
+    _t0 = _time.time()
     key0, key1, y0a, y1a, dira = build_pairs(
         idx, db.lengths, chunk, total_chunk,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    _t_pairs = _time.time() - _t0
 
     lengths = db.lengths
     # --- vectorized speculative enumeration ------------------------------
@@ -356,17 +355,17 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     # (src/shmr_overlap.c:101-107).  Pairs are generated as (i, i+d) for
     # d <= spec_window + slack; self-read runs longer than the slack make
     # the replay miss the cache and fall back to the native aligner.
-    runs = [(b.start, b.end) for b in _bucket_runs(key0, key1)
-            if 2 < b.end - b.start <= cfg.ovlp_upper]
+    bs_all, be_all = _bucket_bounds(key0, key1)
+    sz_all = be_all - bs_all
+    okb = (sz_all > 2) & (sz_all <= cfg.ovlp_upper)
+    bstart, bsize = bs_all[okb], sz_all[okb]
     r0a = r1a = p0a = p1a = s0a = s1a = np.zeros(0, np.int64)
-    if runs:
-        bstart = np.array([r[0] for r in runs], np.int64)
-        bsize = np.array([r[1] - r[0] for r in runs], np.int64)
+    if len(bstart):
         total = int(bsize.sum())
         excl = np.cumsum(bsize) - bsize
         within0 = np.arange(total) - np.repeat(excl, bsize)
         sel = np.repeat(bstart, bsize) + within0
-        bid = np.repeat(np.arange(len(runs)), bsize)
+        bid = np.repeat(np.arange(len(bstart)), bsize)
 
         ys = y0a[sel]
         dirs = dira[sel].astype(np.int64)
@@ -392,12 +391,36 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         lo = np.minimum(rid[ii], rid[jj]).astype(np.uint64)
         hi = np.maximum(rid[ii], rid[jj]).astype(np.uint64)
         ridp = (lo << np.uint64(32)) | hi
-        _, first_idx = np.unique(ridp, return_index=True)
-        keep = np.sort(first_idx)
+        # keep the first spec_per_pair occurrences of each rid pair in
+        # replay order: the replay aligns each pair once, but containment
+        # kills and bestn breaks can shift WHICH occurrence gets aligned,
+        # so caching only the first misses those retries
+        o2 = np.argsort(ridp, kind="stable")
+        rs = ridp[o2]
+        grp_start = np.flatnonzero(
+            np.concatenate([[True], rs[1:] != rs[:-1]]))
+        sizes = np.diff(np.concatenate([grp_start, [len(rs)]]))
+        rank = np.arange(len(rs)) - np.repeat(grp_start, sizes)
+        keep = np.sort(o2[rank < spec_per_pair])
         ii, jj = ii[keep], jj[keep]
         r0a, r1a = rid[ii], rid[jj]
         p0a, p1a = pos[ii] + 1, pos[jj] + 1
         s0a, s1a = dirs[ii], dirs[jj]
+        # identical full requests (same pair at the same anchor positions,
+        # emitted from different buckets) align once — the cache key is
+        # exact, so duplicates are pure waste
+        ka = ((r0a.astype(np.uint64) << np.uint64(33))
+              | (p0a.astype(np.uint64) << np.uint64(1))
+              | s0a.astype(np.uint64))
+        kb = ((r1a.astype(np.uint64) << np.uint64(33))
+              | (p1a.astype(np.uint64) << np.uint64(1))
+              | s1a.astype(np.uint64))
+        od = np.lexsort((kb, ka))
+        dup = np.zeros(len(od), bool)
+        dup[1:] = (ka[od][1:] == ka[od][:-1]) & (kb[od][1:] == kb[od][:-1])
+        keep2 = np.sort(od[~dup])
+        r0a, r1a, p0a, p1a = r0a[keep2], r1a[keep2], p0a[keep2], p1a[keep2]
+        s0a, s1a = s0a[keep2], s1a[keep2]
 
     # batch-align all speculative requests with STATIC shapes: the packed
     # seqdb is uploaded to device HBM once (the TPU analog of the
@@ -422,51 +445,79 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     tl_all = lengths[r1a]
     mlen = np.maximum(np.maximum(ql_all, tl_all), 1024)
     in_cap = mlen <= cfg.aln_max_len  # ultra-long lanes use native fallback
-    pad_class = (-(-mlen // 4096) * 4096).astype(np.int64)
+    # 8 kb quantum: each distinct pad is a separate jit trace+lower pass
+    # (several seconds of host work per process even with the persistent
+    # compile cache), so fewer classes beats tighter padding
+    pad_class = (-(-mlen // 8192) * 8192).astype(np.int64)
 
-    def run_batch(idxs, pad):
+    import logging
+    log = logging.getLogger("peregrine_tpu")
+    t_enum = _time.time()
+
+    def dispatch_batch(idxs, pad):
         nreq = len(idxs)
         def col(src, dtype):
             a = np.zeros(batch, dtype)
             a[:nreq] = src[idxs]
             return jnp.asarray(a)
         try:
-            d, qe, te = jax.device_get(myers_batch_db(
+            return myers_batch_db(
                 seqdb_dev, col(qo_all, np.int64), col(ql_all, np.int32),
                 col(s0a, np.int32), col(to_all, np.int64),
                 col(tl_all, np.int32), col(s1a, np.int32),
-                L=pad, nb=8, unroll=unroll))
+                L=pad, nb=8, unroll=unroll)
         except Exception as e:  # device/compile failure: replay falls back
-            import logging
-            logging.getLogger("peregrine_tpu").warning(
-                "device alignment batch failed (%s); native fallback", e)
-            return
-        m_size = (qe[:nreq] + te[:nreq] + 2 * d[:nreq]) // 2
-        for i, g in enumerate(idxs):
-            cache[(int(r0a[g]), int(p0a[g]), int(s0a[g]),
-                   int(r1a[g]), int(p1a[g]), int(s1a[g]))] = (
-                int(d[i]), 0, int(qe[i]), 0, int(te[i]),
-                int(m_size[i]), int(qe[i]), int(te[i]))
+            log.warning("device alignment batch failed (%s); "
+                        "native fallback", e)
+            return None
 
+    # dispatch every batch before reading any result: device compute of
+    # batch k+1 overlaps host unpack of batch k (jax dispatch is async)
+    handles = []
     for pad in np.unique(pad_class[in_cap]):
         idxs = np.flatnonzero(in_cap & (pad_class == pad))
         for i in range(0, len(idxs), batch):
-            run_batch(idxs[i:i + batch], int(pad))
+            part = idxs[i:i + batch]
+            handles.append((part, dispatch_batch(part, int(pad))))
+    t_disp = _time.time()
+
+    # vectorized unpack: results keyed by the same packed (query, target)
+    # u64 pair the dedup pass uses; values stay (dist, q_end, t_end)
+    key_a = ((r0a.astype(np.uint64) << np.uint64(33))
+             | (p0a.astype(np.uint64) << np.uint64(1))
+             | s0a.astype(np.uint64))
+    key_b = ((r1a.astype(np.uint64) << np.uint64(33))
+             | (p1a.astype(np.uint64) << np.uint64(1))
+             | s1a.astype(np.uint64))
+    # one bulk fetch: per-batch gets pay a full tunnel round trip each
+    fetched = jax.device_get([h for _, h in handles if h is not None])
+    for (part, h), res in zip(
+            [ph for ph in handles if ph[1] is not None], fetched):
+        d, qe, te = (np.asarray(a[:len(part)]) for a in res)
+        cache.update(zip(zip(key_a[part].tolist(), key_b[part].tolist()),
+                         zip(d.tolist(), qe.tolist(), te.tolist())))
+    t_unpack = _time.time()
 
     misses = [0]
 
     def cached_align(rid0, pos0, strand0, rid1, pos1, strand1):
-        r = cache.get((rid0, pos0, strand0, rid1, pos1, strand1))
+        r = cache.get(((rid0 << 33) | (pos0 << 1) | strand0,
+                       (rid1 << 33) | (pos1 << 1) | strand1))
         if r is None:
             misses[0] += 1
             return _native_align(db, cfg, rid0, pos0, strand0,
                                  rid1, pos1, strand1)
-        return r
+        d, qe, te = r
+        m_size = (qe + te + 2 * d) // 2
+        return (d, 0, qe, 0, te, m_size, qe, te)
 
     result = overlap_chunk(db, idx, cfg, chunk, total_chunk, rid_pairs,
-                           align_fn=cached_align)
-    import logging
-    logging.getLogger("peregrine_tpu").info(
-        "device overlap: %d cached alignments, %d native fallbacks",
-        len(cache), misses[0])
+                           align_fn=cached_align,
+                           pairs=(key0, key1, y0a, y1a, dira))
+    log.info(
+        "device overlap: %d cached alignments, %d native fallbacks "
+        "(pairs %.1fs, enum %.1fs, dispatch %.1fs, device+unpack %.1fs, "
+        "replay %.1fs)",
+        len(cache), misses[0], _t_pairs, t_enum - _t0 - _t_pairs,
+        t_disp - t_enum, t_unpack - t_disp, _time.time() - t_unpack)
     return result
