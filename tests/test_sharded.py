@@ -45,3 +45,56 @@ def test_sharded_index_matches_single_device(rng):
         (int(a), int(b)) for sx, sy in shards for a, b in zip(sx, sy))
     want = sorted(zip(ref.x.tolist(), ref.y.tolist()))
     assert all_pairs == want
+
+
+def test_sharded_overlap_align_matches_single_device(rng):
+    """sharded_align over a read-sharded seqdb reproduces the single-device
+    myers_batch_db results for random anchored pairs."""
+    from peregrine_tpu.ops.device_align import myers_batch_db
+    from peregrine_tpu.ops.dbgather import upload_seqdb
+    from peregrine_tpu.parallel.sharded_overlap import shard_seqdb, sharded_align
+    import jax.numpy as jnp
+
+    genome = random_genome(rng, 20000)
+    reads, _ = simulate_reads(rng, genome, read_len=1500, coverage=12.0,
+                              circular_wrap=2000)
+    db = SeqDB.from_reads(reads)
+    mesh = make_mesh(8)
+    sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
+
+    # every read must live whole inside its owner's shard
+    n = mesh.devices.size
+    for rid in range(len(db)):
+        d = sdb.owner[rid]
+        assert db.offsets[rid] >= sdb.base[d]
+
+    nreq = 100
+    q_rid = rng.integers(0, len(db), nreq)
+    t_rid = rng.integers(0, len(db), nreq)
+    q_shift = rng.integers(0, 200, nreq)
+    q_off = db.offsets[q_rid] + q_shift
+    q_len = db.lengths[q_rid] - q_shift
+    t_off = db.offsets[t_rid]
+    t_len = db.lengths[t_rid].copy()
+    q_strand = rng.integers(0, 2, nreq)
+    t_strand = rng.integers(0, 2, nreq)
+
+    L = 2048
+    d, qe, te = sharded_align(
+        sdb, q_rid, q_off, q_len.astype(np.int32), q_strand.astype(np.int32),
+        t_rid, t_off, t_len.astype(np.int32), t_strand.astype(np.int32),
+        db.offsets, L=L, nb=8, unroll=1)
+
+    dev = upload_seqdb(db.data)
+    import jax
+    d1, qe1, te1 = jax.device_get(myers_batch_db(
+        dev, jnp.asarray(q_off.astype(np.int64)),
+        jnp.asarray(q_len.astype(np.int32)),
+        jnp.asarray(q_strand.astype(np.int32)),
+        jnp.asarray(t_off.astype(np.int64)),
+        jnp.asarray(t_len.astype(np.int32)),
+        jnp.asarray(t_strand.astype(np.int32)), L=L, nb=8, unroll=1))
+
+    np.testing.assert_array_equal(d, d1)
+    np.testing.assert_array_equal(qe, qe1)
+    np.testing.assert_array_equal(te, te1)
