@@ -126,8 +126,110 @@ def sketch_impl(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
     Returns:
       (x [B, L] uint64, y [B, L] uint64, count [B] int32) — per-read
       minimizers compacted to the row front, padding = INF.
+
+    For k <= 16 the whole stream entry (hash, pos, strand, amb) packs into
+    ONE uint64, so both compaction sorts carry a single operand and the
+    window minima run in uint32 — the sorts are the kernel's cost center
+    (TPU lax.sort moves every operand through HBM each pass).  One
+    documented consequence: the incomplete-window sentinel is hash 0, so a
+    k-mer whose 32-bit hash is exactly 0 (p = 2^-32) can emit from a
+    warmup window near a reset — superset-only, same class as the other
+    reset-edge divergences above.
     """
     assert 0 < w < 256 and 0 < k <= 28
+    if k <= 16:
+        return _sketch_impl_packed(codes, lengths, rids, w=w, k=k)
+    return _sketch_impl_wide(codes, lengths, rids, w=w, k=k)
+
+
+def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
+                        rids: jnp.ndarray, *, w: int, k: int):
+    B, L = codes.shape
+    P = max(1, (L - 1).bit_length())
+    assert 32 + P + 2 <= 64, "pad length too large for packed sketch"
+    mask = jnp.uint32((1 << (2 * k)) - 1)
+    INF32 = jnp.uint32(0xFFFFFFFF)
+    pos = jnp.arange(L)[None, :]
+
+    c = codes.astype(jnp.int32)
+    inlen = pos < lengths[:, None]
+    valid = (c < 4) & inlen
+    amb = (c >= 4) & inlen
+
+    # rolling k-mers in uint32 (hash is at most 32 bits for k <= 16)
+    cb = (c & 3).astype(jnp.uint32)
+    cbr = cb ^ jnp.uint32(3)
+    fwd = jnp.zeros((B, L), jnp.uint32)
+    rev = jnp.zeros((B, L), jnp.uint32)
+    for d in range(k):
+        cd = _shift_right(cb, d, jnp.uint32(0))
+        cdr = _shift_right(cbr, d, jnp.uint32(0))
+        fwd = fwd | (cd << jnp.uint32(2 * d))
+        rev = rev | (cdr << jnp.uint32(2 * (k - 1 - d)))
+    fwd = fwd & mask
+
+    sym = (fwd == rev) & valid
+    strand = jnp.where(fwd < rev, jnp.uint32(0), jnp.uint32(1))
+    hsh = hash64(jnp.minimum(fwd, rev), mask)
+
+    vns = valid & ~sym
+    cvns = jnp.cumsum(vns, axis=1).astype(jnp.int32)
+    at_amb = jax.lax.cummax(jnp.where(amb, cvns, 0), axis=1)
+    l = cvns - at_amb
+    defined = vns & (l >= k)
+
+    # pack (hash | pos | strand | amb) into one sort operand; warmup and
+    # ambiguous entries carry hash 0xFFFFFFFF (the reference ring buffer
+    # holds UINT64_MAX for those slots, src/mm_sketch.c:118-127)
+    hpack = jnp.where(defined, hsh, INF32).astype(jnp.uint64)
+    packed = ((hpack << jnp.uint64(P + 2))
+              | (pos.astype(jnp.uint64) << jnp.uint64(2))
+              | (strand.astype(jnp.uint64) << jnp.uint64(1))
+              | amb.astype(jnp.uint64))
+    inc = vns | amb
+    pk = jnp.where(inc, packed, INF)
+    (spk,), n = _sort_compact(inc, [pk])
+
+    scol = jnp.arange(L)[None, :]
+    in_n = scol < n[:, None]
+    samb = ((spk & jnp.uint64(1)) != 0) & in_n
+    svns = in_n & ~samb
+    scv = jnp.cumsum(svns, axis=1).astype(jnp.int32)
+    s_at_amb = jax.lax.cummax(jnp.where(samb, scv, 0), axis=1)
+    sl = scv - s_at_amb
+
+    shash = (spk >> jnp.uint64(P + 2)).astype(jnp.uint32)
+    W = _sliding_min_trailing(shash, w, INF32)
+    complete = sl >= (w + k - 1)
+    Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
+    M = _sliding_max_leading(Ap, w, jnp.uint32(0))
+    emit = (shash != INF32) & (M == shash)
+
+    in_final = (scol >= (n[:, None] - w)) & in_n
+    xm = jnp.where(in_final, shash, INF32)
+    fmin = jnp.min(xm, axis=1)
+    t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1), axis=1)
+    has_final = (fmin != INF32) & (t_f >= 0)
+    emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
+
+    opk = jnp.where(emit, spk, INF)
+    (ospk,), count = _sort_compact(emit, [opk])
+
+    out_valid = scol < count[:, None]
+    oh = ospk >> jnp.uint64(P + 2)
+    opos = (ospk >> jnp.uint64(2)) & jnp.uint64((1 << P) - 1)
+    ostrand = (ospk >> jnp.uint64(1)) & jnp.uint64(1)
+    ox = jnp.where(out_valid, (oh << jnp.uint64(8)) | jnp.uint64(k), INF)
+    oy = jnp.where(
+        out_valid,
+        (rids[:, None].astype(jnp.uint64) << jnp.uint64(32))
+        | (opos << jnp.uint64(1)) | ostrand,
+        INF)
+    return ox, oy, count
+
+
+def _sketch_impl_wide(codes: jnp.ndarray, lengths: jnp.ndarray,
+                      rids: jnp.ndarray, *, w: int, k: int):
     B, L = codes.shape
     kdt = jnp.uint32 if k <= 16 else jnp.uint64
     mask = jnp.asarray((1 << (2 * k)) - 1, kdt)
