@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     asm.add_argument("--device-aligner", action="store_true",
                      help="run overlap confirmation on the TPU (batched "
                           "banded Myers) instead of host cores")
+    asm.add_argument("--shard-overlap", action="store_true",
+                     help="shard the seqdb across all devices and route "
+                          "alignment requests over ICI (for dbs larger "
+                          "than one chip's HBM); implies --device-aligner")
     asm.add_argument("-v", "--verbose", action="store_true")
 
     mp = sub.add_parser("map", help="map reads to a reference "
@@ -90,7 +94,8 @@ def main(argv=None) -> int:
             ovlp_upper=args.ovlp_upper, min_len=args.min_len,
             min_idt=args.min_idt, lfc=args.lfc,
             disable_chimer_bridge_removal=args.disable_chimer_bridge_removal,
-            use_device_aligner=args.device_aligner)
+            use_device_aligner=args.device_aligner or args.shard_overlap,
+            shard_overlap=args.shard_overlap)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
         asm_obj.build_db(reads_list=args.reads_lst)
         if args.with_l0:

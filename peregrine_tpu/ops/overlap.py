@@ -434,9 +434,19 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     cache: dict[tuple, tuple] = {}
     unroll = 32 if jax.default_backend() not in ("cpu",) else 1
-    from .dbgather import upload_seqdb
-    seqdb_dev = upload_seqdb(db.data)
     offsets = db.offsets
+    n_dev = len(jax.devices())
+    sharded = cfg.shard_overlap and n_dev > 1
+    if sharded:
+        # read-sharded seqdb: each device holds its shard; requests ride
+        # all_to_all to the target owner (parallel/sharded_overlap.py)
+        from ..parallel.sharded_index import make_mesh
+        from ..parallel.sharded_overlap import shard_seqdb, sharded_align
+        mesh = make_mesh()
+        sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
+    else:
+        from .dbgather import upload_seqdb
+        seqdb_dev = upload_seqdb(db.data)
 
     # fully-vectorized request fields
     qo_all = offsets[r0a] + p0a - p1a
@@ -471,32 +481,51 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                         "native fallback", e)
             return None
 
-    # dispatch every batch before reading any result: device compute of
-    # batch k+1 overlaps host unpack of batch k (jax dispatch is async)
-    handles = []
-    for pad in np.unique(pad_class[in_cap]):
-        idxs = np.flatnonzero(in_cap & (pad_class == pad))
-        for i in range(0, len(idxs), batch):
-            part = idxs[i:i + batch]
-            handles.append((part, dispatch_batch(part, int(pad))))
-    t_disp = _time.time()
-
-    # vectorized unpack: results keyed by the same packed (query, target)
-    # u64 pair the dedup pass uses; values stay (dist, q_end, t_end)
+    # results keyed by the same packed (query, target) u64 pair the dedup
+    # pass uses; values stay (dist, q_end, t_end)
     key_a = ((r0a.astype(np.uint64) << np.uint64(33))
              | (p0a.astype(np.uint64) << np.uint64(1))
              | s0a.astype(np.uint64))
     key_b = ((r1a.astype(np.uint64) << np.uint64(33))
              | (p1a.astype(np.uint64) << np.uint64(1))
              | s1a.astype(np.uint64))
-    # one bulk fetch: per-batch gets pay a full tunnel round trip each
-    fetched = jax.device_get([h for _, h in handles if h is not None])
-    for (part, h), res in zip(
-            [ph for ph in handles if ph[1] is not None], fetched):
-        d, qe, te = (np.asarray(a[:len(part)]) for a in res)
-        cache.update(zip(zip(key_a[part].tolist(), key_b[part].tolist()),
-                         zip(d.tolist(), qe.tolist(), te.tolist())))
-    t_unpack = _time.time()
+
+    if sharded:
+        t_disp = t_enum
+        for pad in np.unique(pad_class[in_cap]):
+            idxs = np.flatnonzero(in_cap & (pad_class == pad))
+            for i in range(0, len(idxs), batch * n_dev):
+                part = idxs[i:i + batch * n_dev]
+                d, qe, te = sharded_align(
+                    sdb, r0a[part], qo_all[part],
+                    ql_all[part].astype(np.int32),
+                    s0a[part].astype(np.int32), r1a[part], to_all[part],
+                    tl_all[part].astype(np.int32),
+                    s1a[part].astype(np.int32), offsets, L=int(pad),
+                    nb=8, unroll=unroll)
+                cache.update(zip(
+                    zip(key_a[part].tolist(), key_b[part].tolist()),
+                    zip(d.tolist(), qe.tolist(), te.tolist())))
+        t_unpack = _time.time()
+    else:
+        # dispatch every batch before reading any result: device compute
+        # of batch k+1 overlaps host unpack of batch k (dispatch is async)
+        handles = []
+        for pad in np.unique(pad_class[in_cap]):
+            idxs = np.flatnonzero(in_cap & (pad_class == pad))
+            for i in range(0, len(idxs), batch):
+                part = idxs[i:i + batch]
+                handles.append((part, dispatch_batch(part, int(pad))))
+        t_disp = _time.time()
+
+        # one bulk fetch: per-batch gets pay a full tunnel round trip each
+        fetched = jax.device_get([h for _, h in handles if h is not None])
+        for (part, h), res in zip(
+                [ph for ph in handles if ph[1] is not None], fetched):
+            d, qe, te = (np.asarray(a[:len(part)]) for a in res)
+            cache.update(zip(zip(key_a[part].tolist(), key_b[part].tolist()),
+                             zip(d.tolist(), qe.tolist(), te.tolist())))
+        t_unpack = _time.time()
 
     misses = [0]
 

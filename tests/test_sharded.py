@@ -98,3 +98,25 @@ def test_sharded_overlap_align_matches_single_device(rng):
     np.testing.assert_array_equal(d, d1)
     np.testing.assert_array_equal(qe, qe1)
     np.testing.assert_array_equal(te, te1)
+
+
+def test_sharded_overlap_pipeline_matches_single(rng):
+    """overlap_chunk_device with shard_overlap=True (8-device mesh) yields
+    the same overlap records as the single-device path."""
+    from peregrine_tpu.ops.overlap import overlap_chunk_device, ovlps_to_text
+    from peregrine_tpu.ops.index import build_index
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                    min_ovlp_aln=500, sketch_pad_len=8192, sketch_batch=16,
+                    use_device_aligner=True, aln_batch=64)
+    genome = random_genome(rng, 60000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=12.0,
+                              circular_wrap=5000)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    single = ovlps_to_text(overlap_chunk_device(db, idx, cfg, batch=64))
+    sharded = ovlps_to_text(overlap_chunk_device(
+        db, idx, cfg.replace(shard_overlap=True), batch=64))
+    assert single == sharded
+    assert len(single) > 50
