@@ -78,6 +78,11 @@ def main(argv=None) -> int:
     dp.add_argument("mmlist", help="a *-L?-cc-of-tt.dat file")
     dp.add_argument("--limit", type=int, default=0)
 
+    gm = sub.add_parser("gather-mc", help="merge per-chunk minimizer-count "
+                        "files (shmr_gather_mc equivalent)")
+    gm.add_argument("mc_files", nargs="+", help="*-MC-cc-of-tt.dat files")
+    gm.add_argument("--output", required=True, help="merged -MC-all.dat path")
+
     args = p.parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
@@ -149,6 +154,27 @@ def main(argv=None) -> int:
             xi, yi = int(x[i]), int(y[i])
             print(f"{xi >> 8} {xi & 0xFF} {yi >> 32} "
                   f"{(yi & 0xFFFFFFFF) >> 1} {yi & 1}")
+        return 0
+
+    if args.cmd == "gather-mc":
+        # merge per-chunk minimizer-count files into one, summing counts
+        # per mer (reference shmr_gather_mc, src/shmr_gather_mc.c:61-82 /
+        # aggregate_mm_count, src/shmr_utils.c:162-176)
+        import numpy as np
+
+        from .io import formats
+        mers, counts = [], []
+        for p in args.mc_files:
+            m, c = formats.read_mm_count(p)
+            mers.append(m)
+            counts.append(c)
+        m = np.concatenate(mers) if mers else np.zeros(0, np.uint64)
+        c = np.concatenate(counts) if counts else np.zeros(0, np.uint32)
+        um, inv = np.unique(m, return_inverse=True)
+        uc = np.zeros(len(um), np.uint64)
+        np.add.at(uc, inv, c.astype(np.uint64))
+        formats.write_mm_count(args.output, um, uc.astype(np.uint32))
+        print(f"{len(um)} mers from {len(args.mc_files)} chunk files")
         return 0
     return 1
 

@@ -51,9 +51,13 @@ def main():
     glen = int(args.genome_mb * 1e6)
     t0 = time.time()
     genome = random_genome(rng, glen)
-    reads, _ = simulate_reads(rng, genome, read_len=args.read_len,
-                              coverage=args.coverage, len_sd=args.read_len // 10,
-                              error=args.error, circular_wrap=args.wrap_kb * 1000)
+    reads, truth = simulate_reads(rng, genome, read_len=args.read_len,
+                                  coverage=args.coverage, len_sd=args.read_len // 10,
+                                  error=args.error, circular_wrap=args.wrap_kb * 1000)
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir, "truth.tsv"), "w") as f:
+        for i, (s, e, strand) in enumerate(truth):
+            f.write(f"{i} {s} {e} {strand}\n")
     print(f"simulated {len(reads)} reads "
           f"({sum(len(s) for _, s in reads)/1e6:.0f} Mbases, "
           f"{time.time()-t0:.0f}s)", flush=True)

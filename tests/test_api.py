@@ -60,3 +60,24 @@ def test_get_tag_and_cluster_consensus(rng):
     ident = 1 - aln.dist / max(aln.aln_q_e, 1)
     assert aln.aln_q_e > 2900
     assert ident > 0.998, ident
+
+
+def test_cli_gather_mc(tmp_path):
+    """gather-mc merges chunk MC files summing per-mer counts
+    (reference shmr_gather_mc / aggregate_mm_count)."""
+    import numpy as np
+
+    from peregrine_tpu import cli
+    from peregrine_tpu.io import formats
+
+    a = str(tmp_path / "x-MC-01-of-02.dat")
+    b = str(tmp_path / "x-MC-02-of-02.dat")
+    out = str(tmp_path / "x-MC-all.dat")
+    formats.write_mm_count(a, np.array([5, 9, 12], np.uint64),
+                           np.array([2, 1, 7], np.uint32))
+    formats.write_mm_count(b, np.array([9, 30], np.uint64),
+                           np.array([4, 1], np.uint32))
+    assert cli.main(["gather-mc", a, b, "--output", out]) == 0
+    m, c = formats.read_mm_count(out)
+    assert m.tolist() == [5, 9, 12, 30]
+    assert c.tolist() == [2, 5, 7, 1]
