@@ -173,7 +173,15 @@ def sharded_align(sdb: ShardedSeqDB,
     ts = pack(t_strand, np.int32)
 
     fn = _build_exchange(sdb.mesh, sdb.axis, n, cap, L, nb, unroll)
-    d, qe, te = jax.device_get(fn(sdb.rows, qo, ql, qs, to, tl, ts))
+    out = fn(sdb.rows, qo, ql, qs, to, tl, ts)
+    if jax.process_count() > 1:
+        # multi-controller: the output shards span processes, so gather
+        # the global result to every host (device_get needs addressability)
+        from jax.experimental import multihost_utils
+        d, qe, te = (np.asarray(multihost_utils.process_allgather(a, tiled=True))
+                     for a in out)
+    else:
+        d, qe, te = jax.device_get(out)
     # request landed on chip dst at flat position src*cap + slot
     sel = (dst, src * cap + slot)
     return d[sel], qe[sel], te[sel]
