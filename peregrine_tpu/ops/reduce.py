@@ -90,3 +90,24 @@ def reduce_flat_np(x: np.ndarray, y: np.ndarray, r: int) -> tuple[np.ndarray, np
     xs = [ox[i, :oc[i]] for i in range(B)]
     ys = [oy[i, :oc[i]] for i in range(B)]
     return np.concatenate(xs), np.concatenate(ys)
+
+
+def end_filter_np(x: np.ndarray, y: np.ndarray, read_lengths: np.ndarray,
+                  end_length: int):
+    """Split minimizers into 5'-end / 3'-end subsets by proximity to the
+    read ends (reference mm_end_filter, src/shmr_end_filter.c:12-36 —
+    dormant there: its call site is commented out at src/shmr_index.c:173,
+    kept for inventory parity).
+
+    Returns ((x5, y5), (x3, y3)): records with pos < end_length, and
+    records with rlen - pos + span < end_length (a record near both ends
+    of a short read appears in both, as in the reference).
+    """
+    rid = (y >> np.uint64(32)).astype(np.int64)
+    span = (x & np.uint64(0xFF)).astype(np.int64)
+    pos = ((y & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64) + 1
+    rlen = read_lengths[rid].astype(np.int64)
+    r_pos = rlen - pos + span
+    m5 = pos < end_length
+    m3 = r_pos < end_length
+    return (x[m5], y[m5]), (x[m3], y[m3])

@@ -52,3 +52,28 @@ def test_reduce_tie_slot_break(rng):
     want = oracles.mm_reduce(list(zip(x.tolist(), y.tolist())), 3)
     gx, gy = reduce_flat_np(x, y, 3)
     assert list(zip(gx.tolist(), gy.tolist())) == want
+
+
+def test_end_filter_matches_reference_semantics(rng):
+    """end_filter_np mirrors mm_end_filter's pos/r_pos selection."""
+    import numpy as np
+
+    from peregrine_tpu.ops.reduce import end_filter_np
+
+    n = 500
+    rlen = np.full(8, 3000, np.int64)
+    rid = rng.integers(0, 8, n).astype(np.uint64)
+    pos0 = rng.integers(15, 3000, n).astype(np.uint64)  # pos-1 encoding
+    strand = rng.integers(0, 2, n).astype(np.uint64)
+    span = np.full(n, 16, np.uint64)
+    x = (rng.integers(0, 1 << 48, n).astype(np.uint64) << np.uint64(8)) | span
+    y = (rid << np.uint64(32)) | ((pos0 - np.uint64(1)) << np.uint64(1)) | strand
+
+    (x5, y5), (x3, y3) = end_filter_np(x, y, rlen, 250)
+    pos = pos0.astype(np.int64)
+    want5 = pos < 250
+    want3 = (3000 - pos + 16) < 250
+    assert len(x5) == int(want5.sum())
+    assert len(x3) == int(want3.sum())
+    np.testing.assert_array_equal(y5, y[want5])
+    np.testing.assert_array_equal(y3, y[want3])
