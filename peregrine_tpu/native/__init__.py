@@ -15,7 +15,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = [os.path.join(_DIR, "dw_align.cpp"),
-        os.path.join(_DIR, "consensus.cpp")]
+        os.path.join(_DIR, "consensus.cpp"),
+        os.path.join(_DIR, "overlap_replay.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -119,6 +120,63 @@ def window_cns(ref_seq: bytes, read_seqs: list[bytes], shifts: list[int],
         return ctypes.string_at(out.seq, out.len) if out.seq else b""
     finally:
         _lib.free_cns_c(ctypes.byref(out))
+
+
+_REC_SIZE = 59  # sizeof(OvlpRec) packed == OVLP_DTYPE.itemsize
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_lib.overlap_replay_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ys, dirs, pos
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # bstart, bend, nb
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # db, offsets, lens
+    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ck_a, ck_b, cd
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # cqe, cte, n_cache
+    ctypes.POINTER(ctypes.c_void_p), _i64p, _i64p]
+_lib.free_ovlp_recs_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
+
+
+def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
+                   bstart: np.ndarray, bend: np.ndarray,
+                   db_data: np.ndarray, offsets: np.ndarray,
+                   lengths: np.ndarray, bestn: int, fuzz: int, min_aln: int,
+                   band: int, ck_a: np.ndarray, ck_b: np.ndarray,
+                   cd: np.ndarray, cqe: np.ndarray, cte: np.ndarray):
+    """Native sequential overlap accept loop (overlap_replay.cpp); returns
+    (raw record bytes, n_records, n_cache_misses).  The caller parses the
+    bytes with ops.overlap.OVLP_DTYPE (kept out of here to avoid a
+    circular import)."""
+    def p(a, dtype):
+        a = np.ascontiguousarray(a, dtype)
+        return a, a.ctypes.data_as(ctypes.c_void_p)
+
+    ys, ysp = p(ys, np.uint64)
+    dirs, dirsp = p(dirs, np.uint8)
+    pos, posp = p(pos, np.int64)
+    bstart, bsp = p(bstart, np.int64)
+    bend, bep = p(bend, np.int64)
+    db_data, dbp = p(db_data, np.uint8)
+    offsets, offp = p(offsets, np.int64)
+    lengths, lenp = p(lengths, np.int64)
+    ck_a, kap = p(ck_a, np.uint64)
+    ck_b, kbp = p(ck_b, np.uint64)
+    cd, cdp = p(cd, np.int32)
+    cqe, cqep = p(cqe, np.int32)
+    cte, ctep = p(cte, np.int32)
+    out = ctypes.c_void_p()
+    n_out = ctypes.c_int64()
+    n_miss = ctypes.c_int64()
+    _lib.overlap_replay_c(ysp, dirsp, posp, bsp, bep, len(bstart),
+                          dbp, offp, lenp, bestn, fuzz, min_aln, band,
+                          kap, kbp, cdp, cqep, ctep, len(ck_a),
+                          ctypes.byref(out), ctypes.byref(n_out),
+                          ctypes.byref(n_miss))
+    try:
+        raw = ctypes.string_at(out.value, n_out.value * _REC_SIZE) \
+            if out.value and n_out.value else b""
+    finally:
+        _lib.free_ovlp_recs_c(ctypes.byref(out))
+    return raw, int(n_out.value), int(n_miss.value)
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

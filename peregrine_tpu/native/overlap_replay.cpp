@@ -1,0 +1,216 @@
+// Sequential overlap accept loop (the replay) in C++.
+//
+// Mirrors ops/overlap.overlap_chunk's per-bucket walk exactly (which in
+// turn mirrors the reference shimmer_to_overlap, src/shmr_overlap.c:52-180):
+// anchors in descending-position order, up to bestn extensions per anchor,
+// containment kills, global rid-pair dedup.  Alignments come from a
+// speculative result cache (sorted key arrays, binary search) with the
+// banded O(ND) kernel (dw_align.cpp ovlp_match_c) as the miss fallback —
+// no Python in the loop.  The Python overlap_chunk stays as the semantic
+// reference; equivalence is asserted in tests/test_overlap.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+typedef int32_t coor;
+
+struct OvlpMatch {
+  coor m_size, dist;
+  coor q_bgn, q_end;
+  coor t_bgn, t_end;
+  coor t_m_end, q_m_end;
+};
+
+void ovlp_match_c(const uint8_t *q, coor q_len, uint8_t q_strand,
+                  const uint8_t *t, coor t_len, uint8_t t_strand,
+                  coor band_tolerance, OvlpMatch *out);
+
+#pragma pack(push, 1)
+// matches ops/overlap.OVLP_DTYPE exactly (numpy packed struct, 59 bytes)
+struct OvlpRec {
+  uint64_t y0, y1;
+  uint32_t rl0, rl1;
+  uint8_t strand0, strand1, ovlp_type;
+  int32_t m_size, dist;
+  int32_t q_bgn, q_end, t_bgn, t_end;
+  int32_t t_m_end, q_m_end;
+};
+#pragma pack(pop)
+
+}  // extern "C"
+
+namespace {
+
+constexpr int kOverlap = 0, kContains = 1, kContained = 2;
+
+struct Cache {
+  const uint64_t *ka, *kb;
+  const int32_t *d, *qe, *te;
+  int64_t n;
+
+  // index of (a, b) in the (ka, kb)-sorted arrays, or -1
+  int64_t find(uint64_t a, uint64_t b) const {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (ka[mid] < a || (ka[mid] == a && kb[mid] < b))
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return (lo < n && ka[lo] == a && kb[lo] == b) ? lo : -1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// One hash shard's replay.  ys/dirs/pos are the bucket stream already
+// sorted (bucket-major, descending position within bucket) by the caller;
+// buckets are [bstart[i], bend[i]).  Returns a malloc'd OvlpRec array.
+void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
+                      const int64_t *pos, const int64_t *bstart,
+                      const int64_t *bend, int64_t n_buckets,
+                      const uint8_t *db_data, const int64_t *offsets,
+                      const int64_t *lengths, int32_t bestn, int32_t fuzz,
+                      int32_t min_aln, int32_t band, const uint64_t *ck_a,
+                      const uint64_t *ck_b, const int32_t *cd,
+                      const int32_t *cqe, const int32_t *cte,
+                      int64_t n_cache, OvlpRec **out_recs, int64_t *n_out,
+                      int64_t *n_miss) {
+  Cache cache{ck_a, ck_b, cd, cqe, cte, n_cache};
+  std::unordered_map<uint64_t, uint8_t> rid_pairs;
+  std::vector<OvlpRec> out;
+  std::vector<uint8_t> contained;
+  int64_t misses = 0;
+
+  for (int64_t bi = 0; bi < n_buckets; bi++) {
+    const int64_t s = bstart[bi], e = bend[bi];
+    const int64_t n = e - s;
+    contained.assign(n, 0);
+
+    for (int64_t ai = n - 2; ai >= 0; ai--) {
+      if (contained[ai]) continue;
+      const uint64_t y0 = ys[s + ai];
+      const int64_t rid0 = (int64_t)(y0 >> 32);
+      const int64_t pos0 = pos[s + ai] + 1;
+      const int64_t rlen0 = lengths[rid0];
+      const uint8_t strand0 = dirs[s + ai];
+      int overlap_count = 0;
+
+      for (int64_t ci = ai + 1; ci < n; ci++) {
+        if (overlap_count >= bestn) break;
+        if (contained[ci]) continue;
+        const uint64_t y1 = ys[s + ci];
+        const int64_t rid1 = (int64_t)(y1 >> 32);
+        if (rid0 == rid1) continue;
+        const uint64_t ridp = rid0 < rid1
+                                  ? ((uint64_t)rid0 << 32) | (uint64_t)rid1
+                                  : ((uint64_t)rid1 << 32) | (uint64_t)rid0;
+        auto prev = rid_pairs.find(ridp);
+        if (prev != rid_pairs.end()) {
+          if (prev->second == kOverlap) overlap_count++;
+          continue;
+        }
+        const int64_t pos1 = pos[s + ci] + 1;
+        const int64_t rlen1 = lengths[rid1];
+        const uint8_t strand1 = dirs[s + ci];
+        const int64_t slen0 = rlen0 - pos0 + pos1;
+        const int64_t slen1 = rlen1;
+
+        int32_t dist, q_bgn, q_end, t_bgn, t_end, m_size, q_m_end, t_m_end;
+        const uint64_t key_a = ((uint64_t)rid0 << 33) |
+                               ((uint64_t)pos0 << 1) | strand0;
+        const uint64_t key_b = ((uint64_t)rid1 << 33) |
+                               ((uint64_t)pos1 << 1) | strand1;
+        const int64_t hit = cache.find(key_a, key_b);
+        if (hit >= 0) {
+          dist = cd[hit];
+          q_bgn = 0;
+          q_end = cqe[hit];
+          t_bgn = 0;
+          t_end = cte[hit];
+          m_size = (q_end + t_end + 2 * dist) / 2;
+          q_m_end = q_end;
+          t_m_end = t_end;
+        } else {
+          misses++;
+          OvlpMatch m;
+          const int64_t qoff = offsets[rid0] + pos0 - pos1;
+          ovlp_match_c(db_data + qoff, (coor)(rlen0 - (pos0 - pos1)),
+                       strand0, db_data + offsets[rid1], (coor)rlen1,
+                       strand1, band, &m);
+          dist = m.dist;
+          q_bgn = m.q_bgn;
+          q_end = m.q_end;
+          t_bgn = m.t_bgn;
+          t_end = m.t_end;
+          m_size = m.m_size;
+          q_m_end = m.q_m_end;
+          t_m_end = m.t_m_end;
+        }
+
+        const bool ok =
+            q_bgn < fuzz && t_bgn < fuzz &&
+            (std::abs(slen0 - q_end) < fuzz || std::abs(slen1 - t_end) < fuzz)
+            && q_end > min_aln && t_end > min_aln;
+        if (ok) {
+          uint8_t ovlp_type;
+          if (std::abs(rlen0 - (int64_t)(q_end - q_bgn)) < fuzz * 2 ||
+              std::abs(rlen1 - (int64_t)(t_end - t_bgn)) < fuzz * 2) {
+            if (rlen0 >= rlen1) {
+              rid_pairs[ridp] = kContains;
+              ovlp_type = kContains;
+              contained[ci] = 1;
+            } else {
+              rid_pairs[ridp] = kContained;
+              ovlp_type = kContained;
+              contained[ai] = 1;
+            }
+          } else {
+            overlap_count++;
+            rid_pairs[ridp] = kOverlap;
+            ovlp_type = kOverlap;
+          }
+          OvlpRec r;
+          r.y0 = y0;
+          r.y1 = y1;
+          r.rl0 = (uint32_t)rlen0;
+          r.rl1 = (uint32_t)rlen1;
+          r.strand0 = strand0;
+          r.strand1 = strand1;
+          r.ovlp_type = ovlp_type;
+          r.m_size = m_size;
+          r.dist = dist;
+          r.q_bgn = q_bgn;
+          r.q_end = q_end;
+          r.t_bgn = t_bgn;
+          r.t_end = t_end;
+          r.t_m_end = t_m_end;
+          r.q_m_end = q_m_end;
+          out.push_back(r);
+        }
+        if (contained[ai]) break;
+      }
+    }
+  }
+
+  *n_out = (int64_t)out.size();
+  *n_miss = misses;
+  *out_recs = (OvlpRec *)std::malloc(out.size() * sizeof(OvlpRec));
+  std::memcpy(*out_recs, out.data(), out.size() * sizeof(OvlpRec));
+}
+
+void free_ovlp_recs_c(OvlpRec **r) {
+  std::free(*r);
+  *r = nullptr;
+}
+
+}  // extern "C"

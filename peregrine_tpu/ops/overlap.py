@@ -126,6 +126,60 @@ def _bucket_bounds(key0: np.ndarray, key1: np.ndarray):
     return bounds[:-1], bounds[1:]
 
 
+def _bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
+    """Eligible buckets flattened into one replay-ordered stream.
+
+    Returns (ys, dirs, pos, bstart, bend, bid): records of every bucket
+    with 2 < size <= ovlp_upper, bucket-major, descending position within
+    bucket (stable) — the exact order the sequential accept loop walks.
+    """
+    z64 = np.zeros(0, np.int64)
+    bs, be = _bucket_bounds(key0, key1)
+    sz = be - bs
+    ok = (sz > 2) & (sz <= ovlp_upper)
+    bs, sz = bs[ok], sz[ok]
+    if not len(bs):
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint8), z64,
+                z64, z64, z64)
+    total = int(sz.sum())
+    excl = np.cumsum(sz) - sz
+    sel = np.repeat(bs, sz) + (np.arange(total) - np.repeat(excl, sz))
+    bid = np.repeat(np.arange(len(bs)), sz)
+    ys = y0a[sel]
+    dirs = dira[sel]
+    pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
+    order = np.lexsort((-pos, bid))
+    return (ys[order], dirs[order], pos[order],
+            excl.astype(np.int64), (excl + sz).astype(np.int64), bid[order])
+
+
+def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                         chunk: int = 1, total_chunk: int = 1,
+                         pairs=None, cache=None):
+    """overlap_chunk semantics with the sequential accept loop in C++
+    (native/overlap_replay.cpp); alignments come from the optional
+    speculative cache (sorted key arrays) with the native O(ND) kernel as
+    miss fallback.  Returns (records, n_cache_misses)."""
+    from ..native import overlap_replay
+    assert OVLP_DTYPE.itemsize == 59
+    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
+        idx, db.lengths, chunk, total_chunk,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    ys, dirs, pos, bs, be, _ = _bucket_stream(key0, key1, y0a, dira,
+                                              cfg.ovlp_upper)
+    if cache is None:
+        z64 = np.zeros(0, np.uint64)
+        z32 = np.zeros(0, np.int32)
+        cache = (z64, z64, z32, z32, z32)
+    raw, n, miss = overlap_replay(
+        ys, dirs, pos, bs, be, db.data, db.offsets, db.lengths,
+        cfg.best_n_ovlp, cfg.read_end_fuzz, cfg.min_ovlp_aln, cfg.aln_bw,
+        *cache)
+    recs = (np.frombuffer(raw, dtype=OVLP_DTYPE).copy() if n
+            else np.zeros(0, OVLP_DTYPE))
+    return recs, miss
+
+
 def _native_align(db: SeqDB, cfg: AsmConfig, rid0: int, pos0: int,
                   strand0: int, rid1: int, pos1: int, strand1: int):
     """Default alignment backend: the host C++ O(ND) kernel."""
@@ -239,7 +293,9 @@ def _overlap_chunk_worker(seqdb_prefix: str, mm_paths: list[str],
     from ..config import AsmConfig as _Cfg
     db = SeqDB.open(seqdb_prefix)
     idx = ShimmerIndex.load_chunks(mm_paths, mc_paths)
-    return overlap_chunk(db, idx, _Cfg.from_json(cfg_json), chunk, total)
+    recs, _ = overlap_chunk_native(db, idx, _Cfg.from_json(cfg_json),
+                                   chunk, total)
+    return recs
 
 
 def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
@@ -257,8 +313,8 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     """
     if n_chunks <= 1 or n_workers <= 1 or seqdb_prefix is None:
         if n_chunks <= 1:
-            return overlap_chunk(db, idx, cfg)
-        parts = [overlap_chunk(db, idx, cfg, c + 1, n_chunks)
+            return overlap_chunk_native(db, idx, cfg)[0]
+        parts = [overlap_chunk_native(db, idx, cfg, c + 1, n_chunks)[0]
                  for c in range(n_chunks)]
         parts = [p for p in parts if len(p)]
         return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
@@ -355,23 +411,12 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     # (src/shmr_overlap.c:101-107).  Pairs are generated as (i, i+d) for
     # d <= spec_window + slack; self-read runs longer than the slack make
     # the replay miss the cache and fall back to the native aligner.
-    bs_all, be_all = _bucket_bounds(key0, key1)
-    sz_all = be_all - bs_all
-    okb = (sz_all > 2) & (sz_all <= cfg.ovlp_upper)
-    bstart, bsize = bs_all[okb], sz_all[okb]
+    sys_, sdirs, spos, sbs, sbe, sbid = _bucket_stream(
+        key0, key1, y0a, dira, cfg.ovlp_upper)
+    total = len(sys_)
     r0a = r1a = p0a = p1a = s0a = s1a = np.zeros(0, np.int64)
-    if len(bstart):
-        total = int(bsize.sum())
-        excl = np.cumsum(bsize) - bsize
-        within0 = np.arange(total) - np.repeat(excl, bsize)
-        sel = np.repeat(bstart, bsize) + within0
-        bid = np.repeat(np.arange(len(bstart)), bsize)
-
-        ys = y0a[sel]
-        dirs = dira[sel].astype(np.int64)
-        pos = ((ys & _U32) >> np.uint64(1)).astype(np.int64)
-        order = np.lexsort((-pos, bid))          # per-bucket descending pos
-        ys, dirs, pos, bid = ys[order], dirs[order], pos[order], bid[order]
+    if total:
+        ys, dirs, pos, bid = sys_, sdirs.astype(np.int64), spos, sbid
         rid = (ys >> np.uint64(32)).astype(np.int64)
 
         W2 = spec_window + 4
@@ -432,7 +477,6 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     from .device_align import myers_batch_db
 
-    cache: dict[tuple, tuple] = {}
     unroll = 32 if jax.default_backend() not in ("cpu",) else 1
     offsets = db.offsets
     n_dev = len(jax.devices())
@@ -490,6 +534,12 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
              | (p1a.astype(np.uint64) << np.uint64(1))
              | s1a.astype(np.uint64))
 
+    nreq = len(r0a)
+    res_d = np.zeros(nreq, np.int32)
+    res_qe = np.zeros(nreq, np.int32)
+    res_te = np.zeros(nreq, np.int32)
+    have = np.zeros(nreq, bool)
+
     if sharded:
         t_disp = t_enum
         for pad in np.unique(pad_class[in_cap]):
@@ -503,9 +553,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                     tl_all[part].astype(np.int32),
                     s1a[part].astype(np.int32), offsets, L=int(pad),
                     nb=8, unroll=unroll)
-                cache.update(zip(
-                    zip(key_a[part].tolist(), key_b[part].tolist()),
-                    zip(d.tolist(), qe.tolist(), te.tolist())))
+                res_d[part], res_qe[part], res_te[part] = d, qe, te
+                have[part] = True
         t_unpack = _time.time()
     else:
         # dispatch every batch before reading any result: device compute
@@ -522,31 +571,25 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         fetched = jax.device_get([h for _, h in handles if h is not None])
         for (part, h), res in zip(
                 [ph for ph in handles if ph[1] is not None], fetched):
-            d, qe, te = (np.asarray(a[:len(part)]) for a in res)
-            cache.update(zip(zip(key_a[part].tolist(), key_b[part].tolist()),
-                             zip(d.tolist(), qe.tolist(), te.tolist())))
+            n_in = len(part)
+            res_d[part] = res[0][:n_in]
+            res_qe[part] = res[1][:n_in]
+            res_te[part] = res[2][:n_in]
+            have[part] = True
         t_unpack = _time.time()
 
-    misses = [0]
-
-    def cached_align(rid0, pos0, strand0, rid1, pos1, strand1):
-        r = cache.get(((rid0 << 33) | (pos0 << 1) | strand0,
-                       (rid1 << 33) | (pos1 << 1) | strand1))
-        if r is None:
-            misses[0] += 1
-            return _native_align(db, cfg, rid0, pos0, strand0,
-                                 rid1, pos1, strand1)
-        d, qe, te = r
-        m_size = (qe + te + 2 * d) // 2
-        return (d, 0, qe, 0, te, m_size, qe, te)
-
-    result = overlap_chunk(db, idx, cfg, chunk, total_chunk, rid_pairs,
-                           align_fn=cached_align,
-                           pairs=(key0, key1, y0a, y1a, dira))
+    # replay in C++ against the sorted result arrays; misses fall back to
+    # the native O(ND) kernel inside the loop (native/overlap_replay.cpp)
+    got = np.flatnonzero(have)
+    co = got[np.lexsort((key_b[got], key_a[got]))]
+    result, misses = overlap_chunk_native(
+        db, idx, cfg, chunk, total_chunk,
+        pairs=(key0, key1, y0a, y1a, dira),
+        cache=(key_a[co], key_b[co], res_d[co], res_qe[co], res_te[co]))
     log.info(
         "device overlap: %d cached alignments, %d native fallbacks "
         "(pairs %.1fs, enum %.1fs, dispatch %.1fs, device+unpack %.1fs, "
         "replay %.1fs)",
-        len(cache), misses[0], _t_pairs, t_enum - _t0 - _t_pairs,
+        len(co), misses, _t_pairs, t_enum - _t0 - _t_pairs,
         t_disp - t_enum, t_unpack - t_disp, _time.time() - t_unpack)
     return result

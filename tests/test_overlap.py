@@ -124,3 +124,28 @@ def test_ovlps_to_text_format(rng):
     # dedup: one line per rid pair
     pairs = [(ln.split()[0], ln.split()[1]) for ln in lines]
     assert len(pairs) == len({tuple(sorted(p)) for p in pairs})
+
+
+def test_native_replay_matches_python(rng):
+    """The C++ accept loop (overlap_replay.cpp) reproduces overlap_chunk
+    byte-for-byte with an empty cache (every alignment native)."""
+    import numpy as np
+
+    from peregrine_tpu.ops.index import build_index
+    from peregrine_tpu.ops.overlap import overlap_chunk, overlap_chunk_native
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                    min_ovlp_aln=500, sketch_pad_len=8192, sketch_batch=16)
+    genome = random_genome(rng, 80000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=12.0,
+                              circular_wrap=6000)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    want = overlap_chunk(db, idx, cfg)
+    got, miss = overlap_chunk_native(db, idx, cfg)
+    assert miss == len(got) or miss >= len(got)  # every align was a miss
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.view(np.uint8).reshape(len(got), -1),
+                                  want.view(np.uint8).reshape(len(want), -1))
