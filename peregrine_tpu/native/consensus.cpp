@@ -54,8 +54,10 @@ struct CnsResult {
 namespace {
 
 // Base codes preserving ASCII order among the consensus alphabet
-// '-'(45) < '.'(46) < 'A' < 'C' < 'G' < 'T'; anything else (never produced
-// by the 4-bit codec) sorts last.
+// '-'(45) < '.'(46) < 'A'(65) < 'C'(67) < 'G'(71) < 'N'(78) < 'T'(84).
+// 'N' IS produced by the 4-bit codec (ambiguous nibbles decode to 'N',
+// seqdb.py _BITS2BASE), so it must keep its ASCII rank between G and T
+// for tie order to match the Python semantic port.
 inline uint32_t base_code(uint8_t b) {
   switch (b) {
     case '-': return 0;
@@ -63,11 +65,12 @@ inline uint32_t base_code(uint8_t b) {
     case 'A': return 2;
     case 'C': return 3;
     case 'G': return 4;
-    case 'T': return 5;
-    default: return 6;
+    case 'N': return 5;
+    case 'T': return 6;
+    default: return 7;
   }
 }
-constexpr char kCodeBase[8] = {'-', '.', 'A', 'C', 'G', 'T', 'N', 'N'};
+constexpr char kCodeBase[8] = {'-', '.', 'A', 'C', 'G', 'N', 'T', 'N'};
 
 // Packed tag-pair key, low to high bits:
 //   p_base:3 | p_delta:8 | prel:2 | base:3 | delta:8 | t_pos:40

@@ -155,18 +155,23 @@ def _bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
 
 def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
-                         pairs=None, cache=None):
+                         pairs=None, cache=None, stream=None):
     """overlap_chunk semantics with the sequential accept loop in C++
     (native/overlap_replay.cpp); alignments come from the optional
     speculative cache (sorted key arrays) with the native O(ND) kernel as
-    miss fallback.  Returns (records, n_cache_misses)."""
+    miss fallback.  Returns (records, n_cache_misses).  stream may pass a
+    precomputed _bucket_stream to avoid rebuilding it."""
     from ..native import overlap_replay
     assert OVLP_DTYPE.itemsize == 59
-    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
-        idx, db.lengths, chunk, total_chunk,
-        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
-    ys, dirs, pos, bs, be, _ = _bucket_stream(key0, key1, y0a, dira,
-                                              cfg.ovlp_upper)
+    if stream is None:
+        key0, key1, y0a, y1a, dira = (pairs if pairs is not None
+                                      else build_pairs(
+            idx, db.lengths, chunk, total_chunk,
+            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist))
+        ys, dirs, pos, bs, be, _ = _bucket_stream(key0, key1, y0a, dira,
+                                                  cfg.ovlp_upper)
+    else:
+        ys, dirs, pos, bs, be = stream
     if cache is None:
         z64 = np.zeros(0, np.uint64)
         z32 = np.zeros(0, np.int32)
@@ -381,7 +386,6 @@ def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
 
 def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
-                         rid_pairs: dict | None = None,
                          spec_window: int = 8,
                          spec_per_pair: int = 1,
                          batch: int = 1024) -> np.ndarray:
@@ -415,6 +419,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         key0, key1, y0a, dira, cfg.ovlp_upper)
     total = len(sys_)
     r0a = r1a = p0a = p1a = s0a = s1a = np.zeros(0, np.int64)
+    key_a = key_b = np.zeros(0, np.uint64)
     if total:
         ys, dirs, pos, bid = sys_, sdirs.astype(np.int64), spos, sbid
         rid = (ys >> np.uint64(32)).astype(np.int64)
@@ -466,6 +471,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         keep2 = np.sort(od[~dup])
         r0a, r1a, p0a, p1a = r0a[keep2], r1a[keep2], p0a[keep2], p1a[keep2]
         s0a, s1a = s0a[keep2], s1a[keep2]
+        key_a, key_b = ka[keep2], kb[keep2]
 
     # batch-align all speculative requests with STATIC shapes: the packed
     # seqdb is uploaded to device HBM once (the TPU analog of the
@@ -487,7 +493,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         from ..parallel.sharded_index import make_mesh
         from ..parallel.sharded_overlap import shard_seqdb, sharded_align
         mesh = make_mesh()
-        sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
+        sdb = shard_seqdb(db.data, db.offsets, mesh)
     else:
         from .dbgather import upload_seqdb
         seqdb_dev = upload_seqdb(db.data)
@@ -525,15 +531,6 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                         "native fallback", e)
             return None
 
-    # results keyed by the same packed (query, target) u64 pair the dedup
-    # pass uses; values stay (dist, q_end, t_end)
-    key_a = ((r0a.astype(np.uint64) << np.uint64(33))
-             | (p0a.astype(np.uint64) << np.uint64(1))
-             | s0a.astype(np.uint64))
-    key_b = ((r1a.astype(np.uint64) << np.uint64(33))
-             | (p1a.astype(np.uint64) << np.uint64(1))
-             | s1a.astype(np.uint64))
-
     nreq = len(r0a)
     res_d = np.zeros(nreq, np.int32)
     res_qe = np.zeros(nreq, np.int32)
@@ -546,13 +543,18 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
             idxs = np.flatnonzero(in_cap & (pad_class == pad))
             for i in range(0, len(idxs), batch * n_dev):
                 part = idxs[i:i + batch * n_dev]
-                d, qe, te = sharded_align(
-                    sdb, r0a[part], qo_all[part],
-                    ql_all[part].astype(np.int32),
-                    s0a[part].astype(np.int32), r1a[part], to_all[part],
-                    tl_all[part].astype(np.int32),
-                    s1a[part].astype(np.int32), offsets, L=int(pad),
-                    nb=8, unroll=unroll)
+                try:
+                    d, qe, te = sharded_align(
+                        sdb, r0a[part], qo_all[part],
+                        ql_all[part].astype(np.int32),
+                        s0a[part].astype(np.int32), r1a[part], to_all[part],
+                        tl_all[part].astype(np.int32),
+                        s1a[part].astype(np.int32), L=int(pad),
+                        nb=8, unroll=unroll)
+                except Exception as e:  # replay falls back to native
+                    log.warning("sharded alignment batch failed (%s); "
+                                "native fallback", e)
+                    continue
                 res_d[part], res_qe[part], res_te[part] = d, qe, te
                 have[part] = True
         t_unpack = _time.time()
@@ -567,10 +569,24 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 handles.append((part, dispatch_batch(part, int(pad))))
         t_disp = _time.time()
 
-        # one bulk fetch: per-batch gets pay a full tunnel round trip each
-        fetched = jax.device_get([h for _, h in handles if h is not None])
-        for (part, h), res in zip(
-                [ph for ph in handles if ph[1] is not None], fetched):
+        # one bulk fetch: per-batch gets pay a full tunnel round trip each.
+        # async execution errors surface HERE, not at dispatch — degrade
+        # the affected batches to native fallback instead of aborting
+        live = [ph for ph in handles if ph[1] is not None]
+        try:
+            fetched = jax.device_get([h for _, h in live])
+        except Exception as e:
+            log.warning("bulk result fetch failed (%s); "
+                        "retrying per batch", e)
+            fetched = []
+            for part, h in live:
+                try:
+                    fetched.append(jax.device_get(h))
+                except Exception:
+                    fetched.append(None)
+        for (part, h), res in zip(live, fetched):
+            if res is None:
+                continue
             n_in = len(part)
             res_d[part] = res[0][:n_in]
             res_qe[part] = res[1][:n_in]
@@ -584,7 +600,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     co = got[np.lexsort((key_b[got], key_a[got]))]
     result, misses = overlap_chunk_native(
         db, idx, cfg, chunk, total_chunk,
-        pairs=(key0, key1, y0a, y1a, dira),
+        stream=(sys_, sdirs, spos, sbs, sbe),
         cache=(key_a[co], key_b[co], res_d[co], res_qe[co], res_te[co]))
     log.info(
         "device overlap: %d cached alignments, %d native fallbacks "

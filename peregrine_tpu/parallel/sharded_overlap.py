@@ -47,7 +47,7 @@ class ShardedSeqDB:
     axis: str
 
 
-def shard_seqdb(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+def shard_seqdb(data: np.ndarray, offsets: np.ndarray,
                 mesh: Mesh, axis: str = "data") -> ShardedSeqDB:
     """Split the packed byte array into row-aligned, read-aligned shards.
 
@@ -133,8 +133,7 @@ def sharded_align(sdb: ShardedSeqDB,
                   q_rid: np.ndarray, q_off: np.ndarray, q_len: np.ndarray,
                   q_strand: np.ndarray,
                   t_rid: np.ndarray, t_off: np.ndarray, t_len: np.ndarray,
-                  t_strand: np.ndarray,
-                  offsets: np.ndarray, *, L: int, nb: int = 8,
+                  t_strand: np.ndarray, *, L: int, nb: int = 8,
                   unroll: int = 32, cap: int | None = None):
     """Batched banded alignment of (query window, target read) requests
     against the sharded seqdb; returns (dist, q_end, t_end) in request

@@ -79,7 +79,9 @@ def true_pairs_simple(starts, ends, ok_len, min_ovlp):
         s = starts[i]
         active = [j for j in active if ends[j] - s >= min_ovlp]
         for j in active:
-            pairs.add((i, j) if i < j else (j, i))
+            # true intersection caps at the shorter interval's end
+            if min(ends[i], ends[j]) - s >= min_ovlp:
+                pairs.add((i, j) if i < j else (j, i))
         active.append(i)
     return pairs
 

@@ -63,7 +63,7 @@ def worker(rank: int) -> None:
     assert total > 0, "no index records produced"
 
     from peregrine_tpu.parallel.sharded_overlap import shard_seqdb, sharded_align
-    sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
+    sdb = shard_seqdb(db.data, db.offsets, mesh)
     nreq = 2 * n_global
     q_rid = rng.integers(0, len(db), nreq)
     t_rid = rng.integers(0, len(db), nreq)
@@ -71,7 +71,7 @@ def worker(rank: int) -> None:
         sdb, q_rid, db.offsets[q_rid], db.lengths[q_rid].astype(np.int32),
         np.zeros(nreq, np.int32), t_rid, db.offsets[t_rid],
         db.lengths[t_rid].astype(np.int32), np.ones(nreq, np.int32),
-        db.offsets, L=2048, nb=8, unroll=1)
+        L=2048, nb=8, unroll=1)
     assert d.shape == (nreq,)
     print(f"MULTIHOST OK rank={pid} devices={n_global} "
           f"index_records={int(total)} local_nv={local_nv} "

@@ -130,3 +130,35 @@ def test_native_window_matches_python(rng, tmp_path):
         cc = window_consensus(read_db, ref_db, 0, left, right, wreads, cfg,
                               use_native=True)
         assert cc == py
+
+
+def test_native_window_matches_python_with_n_bases(rng, tmp_path):
+    """Reads containing ambiguous bases decode to 'N'; the C++ tag order
+    must keep N's ASCII rank (between G and T) so ties resolve like the
+    Python port."""
+    from peregrine_tpu.ops.consensus import plan_windows, window_consensus
+    from peregrine_tpu.ops.mapping import map_reads_to_ref
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, sketch_pad_len=16384,
+                    sketch_batch=8)
+    genome = random_genome(rng, 25000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    # salt ambiguous bases into every read so N tags hit the pileup
+    salted = []
+    for name, seq in reads:
+        b = bytearray(seq)
+        for p in range(50, len(b), 997):
+            b[p] = ord("N")
+        salted.append((name, bytes(b)))
+    read_db = SeqDB.from_reads(salted)
+    ref_db = SeqDB.from_reads([("ref", genome)])
+    rows = map_reads_to_ref(build_index(read_db, cfg), read_db.lengths,
+                            build_index(ref_db, cfg), cfg)
+    specs = plan_windows(len(genome), rows)
+    assert specs
+    for left, right, wreads in specs[:2]:
+        py = window_consensus(read_db, ref_db, 0, left, right, wreads, cfg,
+                              use_native=False)
+        cc = window_consensus(read_db, ref_db, 0, left, right, wreads, cfg,
+                              use_native=True)
+        assert cc == py

@@ -145,7 +145,9 @@ def test_native_replay_matches_python(rng):
 
     want = overlap_chunk(db, idx, cfg)
     got, miss = overlap_chunk_native(db, idx, cfg)
-    assert miss == len(got) or miss >= len(got)  # every align was a miss
+    # with an empty cache every alignment attempt is a miss; at least every
+    # accepted record required one
+    assert miss >= len(got) > 0
     assert len(got) == len(want)
     np.testing.assert_array_equal(got.view(np.uint8).reshape(len(got), -1),
                                   want.view(np.uint8).reshape(len(want), -1))

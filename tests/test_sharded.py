@@ -60,7 +60,7 @@ def test_sharded_overlap_align_matches_single_device(rng):
                               circular_wrap=2000)
     db = SeqDB.from_reads(reads)
     mesh = make_mesh(8)
-    sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
+    sdb = shard_seqdb(db.data, db.offsets, mesh)
 
     # every read must live whole inside its owner's shard
     n = mesh.devices.size
@@ -83,7 +83,7 @@ def test_sharded_overlap_align_matches_single_device(rng):
     d, qe, te = sharded_align(
         sdb, q_rid, q_off, q_len.astype(np.int32), q_strand.astype(np.int32),
         t_rid, t_off, t_len.astype(np.int32), t_strand.astype(np.int32),
-        db.offsets, L=L, nb=8, unroll=1)
+        L=L, nb=8, unroll=1)
 
     dev = upload_seqdb(db.data)
     import jax
