@@ -16,7 +16,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "consensus.cpp"),
-        os.path.join(_DIR, "overlap_replay.cpp")]
+        os.path.join(_DIR, "overlap_replay.cpp"),
+        os.path.join(_DIR, "spec_enum.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -177,6 +178,48 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
     return raw, int(n_out.value), int(n_miss.value)
+
+
+SPEC_REQ_DTYPE = np.dtype([
+    ("rid0", "<u4"), ("rid1", "<u4"), ("pos0", "<i4"), ("pos1", "<i4"),
+    ("strand0", "u1"), ("strand1", "u1"), ("_pad", "<u2"),
+])
+
+_lib.spec_enum_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ys, dirs, pos
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # bstart, bend, nb
+    ctypes.c_int32, ctypes.c_int32,                      # window, per_pair
+    ctypes.POINTER(ctypes.c_void_p), _i64p]
+_lib.free_spec_reqs_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
+
+
+def spec_enum(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
+              bstart: np.ndarray, bend: np.ndarray,
+              window: int, per_pair: int) -> np.ndarray:
+    """Enumerate speculative alignment requests in exact replay order
+    (spec_enum.cpp): for each rid pair its first `per_pair` candidate
+    occurrences, exact-duplicate requests removed.  Returns a structured
+    SPEC_REQ_DTYPE array."""
+    def p(a, dtype):
+        a = np.ascontiguousarray(a, dtype)
+        return a, a.ctypes.data_as(ctypes.c_void_p)
+
+    ys, ysp = p(ys, np.uint64)
+    dirs, dirsp = p(dirs, np.uint8)
+    pos, posp = p(pos, np.int64)
+    bstart, bsp = p(bstart, np.int64)
+    bend, bep = p(bend, np.int64)
+    out = ctypes.c_void_p()
+    n_out = ctypes.c_int64()
+    _lib.spec_enum_c(ysp, dirsp, posp, bsp, bep, len(bstart),
+                     window, per_pair, ctypes.byref(out), ctypes.byref(n_out))
+    try:
+        raw = ctypes.string_at(out.value, n_out.value * SPEC_REQ_DTYPE.itemsize) \
+            if out.value and n_out.value else b""
+    finally:
+        _lib.free_spec_reqs_c(ctypes.byref(out))
+    return (np.frombuffer(raw, dtype=SPEC_REQ_DTYPE).copy() if raw
+            else np.zeros(0, SPEC_REQ_DTYPE))
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

@@ -153,6 +153,67 @@ def _bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
             excl.astype(np.int64), (excl + sz).astype(np.int64), bid[order])
 
 
+def _spec_enum_np(sys_: np.ndarray, sdirs: np.ndarray, spos: np.ndarray,
+                  sbid: np.ndarray, window: int, per_pair: int):
+    """Semantic reference for native.spec_enum (vectorized numpy): walk the
+    bucket stream in replay order (bucket asc, anchor desc, candidate asc),
+    keep each rid pair's first `per_pair` candidate occurrences, drop exact
+    duplicate requests.  The C++ version is the production path; equality
+    is asserted in tests/test_overlap_device.py."""
+    total = len(sys_)
+    empty = (np.zeros(0, np.int64),) * 6 + (np.zeros(0, np.uint64),) * 2
+    if not total:
+        return empty
+    ys, dirs, pos, bid = sys_, sdirs.astype(np.int64), spos, sbid
+    rid = (ys >> np.uint64(32)).astype(np.int64)
+
+    cand_i, cand_j = [], []
+    for d in range(1, window + 1):
+        i0 = np.arange(total - d)
+        okb = bid[i0] == bid[i0 + d]
+        cand_i.append(i0[okb])
+        cand_j.append(i0[okb] + d)
+    ii = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int64)
+    jj = np.concatenate(cand_j) if cand_j else np.zeros(0, np.int64)
+    keep = rid[ii] != rid[jj]
+    ii, jj = ii[keep], jj[keep]
+    # replay order: (bucket asc, anchor index desc, candidate asc)
+    orderp = np.lexsort((jj, -ii, bid[ii]))
+    ii, jj = ii[orderp], jj[orderp]
+    lo = np.minimum(rid[ii], rid[jj]).astype(np.uint64)
+    hi = np.maximum(rid[ii], rid[jj]).astype(np.uint64)
+    ridp = (lo << np.uint64(32)) | hi
+    # keep the first per_pair occurrences of each rid pair in replay
+    # order: the replay aligns each pair once, but containment kills and
+    # bestn breaks can shift WHICH occurrence gets aligned, so caching
+    # only the first misses those retries
+    o2 = np.argsort(ridp, kind="stable")
+    rs = ridp[o2]
+    grp_start = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+    sizes = np.diff(np.concatenate([grp_start, [len(rs)]]))
+    rank = np.arange(len(rs)) - np.repeat(grp_start, sizes)
+    keep = np.sort(o2[rank < per_pair])
+    ii, jj = ii[keep], jj[keep]
+    r0a, r1a = rid[ii], rid[jj]
+    p0a, p1a = pos[ii] + 1, pos[jj] + 1
+    s0a, s1a = dirs[ii], dirs[jj]
+    # identical full requests (same pair at the same anchor positions,
+    # emitted from different buckets) align once — the cache key is
+    # exact, so duplicates are pure waste
+    ka = ((r0a.astype(np.uint64) << np.uint64(33))
+          | (p0a.astype(np.uint64) << np.uint64(1))
+          | s0a.astype(np.uint64))
+    kb = ((r1a.astype(np.uint64) << np.uint64(33))
+          | (p1a.astype(np.uint64) << np.uint64(1))
+          | s1a.astype(np.uint64))
+    od = np.lexsort((kb, ka))
+    dup = np.zeros(len(od), bool)
+    dup[1:] = (ka[od][1:] == ka[od][:-1]) & (kb[od][1:] == kb[od][:-1])
+    keep2 = np.sort(od[~dup])
+    return (r0a[keep2], r1a[keep2], p0a[keep2], p1a[keep2],
+            s0a[keep2], s1a[keep2], ka[keep2], kb[keep2])
+
+
 def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
                          pairs=None, cache=None, stream=None):
@@ -417,61 +478,21 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     # the replay miss the cache and fall back to the native aligner.
     sys_, sdirs, spos, sbs, sbe, sbid = _bucket_stream(
         key0, key1, y0a, dira, cfg.ovlp_upper)
-    total = len(sys_)
-    r0a = r1a = p0a = p1a = s0a = s1a = np.zeros(0, np.int64)
-    key_a = key_b = np.zeros(0, np.uint64)
-    if total:
-        ys, dirs, pos, bid = sys_, sdirs.astype(np.int64), spos, sbid
-        rid = (ys >> np.uint64(32)).astype(np.int64)
-
-        W2 = spec_window + 4
-        cand_i, cand_j = [], []
-        for d in range(1, W2 + 1):
-            i0 = np.arange(total - d)
-            okb = bid[i0] == bid[i0 + d]
-            cand_i.append(i0[okb])
-            cand_j.append(i0[okb] + d)
-        ii = np.concatenate(cand_i) if cand_i else np.zeros(0, np.int64)
-        jj = np.concatenate(cand_j) if cand_j else np.zeros(0, np.int64)
-        keep = rid[ii] != rid[jj]
-        ii, jj = ii[keep], jj[keep]
-        # replay order: (bucket asc, anchor index desc, candidate asc)
-        orderp = np.lexsort((jj, -ii, bid[ii]))
-        ii, jj = ii[orderp], jj[orderp]
-        lo = np.minimum(rid[ii], rid[jj]).astype(np.uint64)
-        hi = np.maximum(rid[ii], rid[jj]).astype(np.uint64)
-        ridp = (lo << np.uint64(32)) | hi
-        # keep the first spec_per_pair occurrences of each rid pair in
-        # replay order: the replay aligns each pair once, but containment
-        # kills and bestn breaks can shift WHICH occurrence gets aligned,
-        # so caching only the first misses those retries
-        o2 = np.argsort(ridp, kind="stable")
-        rs = ridp[o2]
-        grp_start = np.flatnonzero(
-            np.concatenate([[True], rs[1:] != rs[:-1]]))
-        sizes = np.diff(np.concatenate([grp_start, [len(rs)]]))
-        rank = np.arange(len(rs)) - np.repeat(grp_start, sizes)
-        keep = np.sort(o2[rank < spec_per_pair])
-        ii, jj = ii[keep], jj[keep]
-        r0a, r1a = rid[ii], rid[jj]
-        p0a, p1a = pos[ii] + 1, pos[jj] + 1
-        s0a, s1a = dirs[ii], dirs[jj]
-        # identical full requests (same pair at the same anchor positions,
-        # emitted from different buckets) align once — the cache key is
-        # exact, so duplicates are pure waste
-        ka = ((r0a.astype(np.uint64) << np.uint64(33))
-              | (p0a.astype(np.uint64) << np.uint64(1))
-              | s0a.astype(np.uint64))
-        kb = ((r1a.astype(np.uint64) << np.uint64(33))
-              | (p1a.astype(np.uint64) << np.uint64(1))
-              | s1a.astype(np.uint64))
-        od = np.lexsort((kb, ka))
-        dup = np.zeros(len(od), bool)
-        dup[1:] = (ka[od][1:] == ka[od][:-1]) & (kb[od][1:] == kb[od][:-1])
-        keep2 = np.sort(od[~dup])
-        r0a, r1a, p0a, p1a = r0a[keep2], r1a[keep2], p0a[keep2], p1a[keep2]
-        s0a, s1a = s0a[keep2], s1a[keep2]
-        key_a, key_b = ka[keep2], kb[keep2]
+    from ..native import spec_enum
+    reqs = spec_enum(sys_, sdirs, spos, sbs, sbe,
+                     spec_window + 4, spec_per_pair)
+    r0a = reqs["rid0"].astype(np.int64)
+    r1a = reqs["rid1"].astype(np.int64)
+    p0a = reqs["pos0"].astype(np.int64)
+    p1a = reqs["pos1"].astype(np.int64)
+    s0a = reqs["strand0"].astype(np.int64)
+    s1a = reqs["strand1"].astype(np.int64)
+    key_a = ((r0a.astype(np.uint64) << np.uint64(33))
+             | (p0a.astype(np.uint64) << np.uint64(1))
+             | s0a.astype(np.uint64))
+    key_b = ((r1a.astype(np.uint64) << np.uint64(33))
+             | (p1a.astype(np.uint64) << np.uint64(1))
+             | s1a.astype(np.uint64))
 
     # batch-align all speculative requests with STATIC shapes: the packed
     # seqdb is uploaded to device HBM once (the TPU analog of the

@@ -2,9 +2,39 @@ import numpy as np
 
 from peregrine_tpu.config import AsmConfig
 from peregrine_tpu.io.seqdb import SeqDB
+from peregrine_tpu.native import spec_enum
 from peregrine_tpu.ops.index import build_index
-from peregrine_tpu.ops.overlap import overlap_chunk, overlap_chunk_device
+from peregrine_tpu.ops.overlap import (_bucket_stream, _spec_enum_np,
+                                       build_pairs, overlap_chunk,
+                                       overlap_chunk_device)
 from tests.simdata import random_genome, simulate_reads
+
+
+def test_spec_enum_native_matches_numpy(rng):
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_ovlp_aln=300,
+                    sketch_pad_len=8192, sketch_batch=16)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+    key0, key1, y0a, y1a, dira = build_pairs(
+        idx, db.lengths, 1, 1, cfg.mc_lower, cfg.mc_upper,
+        cfg.min_anchor_dist)
+    sys_, sdirs, spos, sbs, sbe, sbid = _bucket_stream(
+        key0, key1, y0a, dira, cfg.ovlp_upper)
+    assert len(sys_) > 0
+
+    for window, per_pair in ((12, 1), (5, 2)):
+        r0, r1, p0, p1, s0, s1, ka, kb = _spec_enum_np(
+            sys_, sdirs, spos, sbid, window, per_pair)
+        reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
+        assert len(reqs) == len(r0)
+        np.testing.assert_array_equal(reqs["rid0"], r0.astype(np.uint32))
+        np.testing.assert_array_equal(reqs["rid1"], r1.astype(np.uint32))
+        np.testing.assert_array_equal(reqs["pos0"], p0.astype(np.int32))
+        np.testing.assert_array_equal(reqs["pos1"], p1.astype(np.int32))
+        np.testing.assert_array_equal(reqs["strand0"], s0.astype(np.uint8))
+        np.testing.assert_array_equal(reqs["strand1"], s1.astype(np.uint8))
 
 
 def test_device_overlap_matches_host(rng):
