@@ -1,63 +1,155 @@
-"""Device-resident seqdb: tile-aligned upload + on-device window gather.
+"""Device-resident seqdb: 2-bit packed upload + on-device window gather.
 
-The packed 4-bit dual-strand seqdb is uploaded to HBM once as
-[n_rows, 128] byte rows (the TPU analog of the reference's shared
-read-only mmap, src/shmr_overlap.c:200).  Batched stages then gather
-(offset, length, strand) windows entirely on device: whole 128-byte rows
-move (no layout padding), and the sub-row offset is resolved with a
-two-level static-slice select.
+The host seqdb is the reference's 4-bit dual-strand codec (one byte per
+base, src/shmr_utils.c:44-62).  On device that byte-per-base layout wastes
+HBM and gather bandwidth 4x, so the upload packs two planes:
+
+  * fw:  2-bit forward base codes, 4 bases/byte, [rows, 128] u8;
+  * amb: 1-bit ambiguity flags (non-ACGT), 8 bases/byte, [rows, 128] u8.
+
+Reverse-strand windows: the 4-bit codec's high nibble at position a inside
+a read [s, s+n) is complement(base[2s+n-1-a]) — reading a window's high
+nibbles equals reading the MIRRORED forward window flipped + complemented.
+Every consumer window ends at its read's end (overlap queries clip the
+query's head, targets are whole reads), so the mirrored gather start is
+simply  s + window_len - L  — computed here from the read start, then the
+gather flips and complements on device.  A guard region below every
+shard/db start keeps mirrored starts of L-padded windows non-negative.
+
+Ambiguous bases decode to the caller's fill code (7 for the aligner: N
+matches N and mismatches ACGT, exactly the reference nibble compare in
+src/DWmatch.c:135-140; 4 for the sketch's reset semantics).
 """
 
 from __future__ import annotations
 
-import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# 4-bit nibble -> 2-bit code (A=0 C=1 G=2 T=3); invalid nibbles -> given fill
-def _nib_table(fill: int) -> np.ndarray:
-    t = np.full(16, fill, np.uint8)
-    for nib, code in ((1, 0), (2, 1), (4, 2), (8, 3)):
-        t[nib] = code
-    return t
+# guard (in bases) below the packed db start: a strand-1 window of true
+# length len padded to L gathers from  start + len - L >= -L, so any
+# L <= GUARD_BASES stays in bounds.  Multiple of 1024 (one amb row).
+GUARD_BASES = 1 << 16
+
+_CODE_TABLE = np.zeros(16, np.uint8)   # nibble -> 2-bit code (amb -> 0)
+for _nib, _code in ((1, 0), (2, 1), (4, 2), (8, 3)):
+    _CODE_TABLE[_nib] = _code
+_AMB_TABLE = np.ones(16, bool)
+for _nib in (1, 2, 4, 8):
+    _AMB_TABLE[_nib] = False
 
 
-def upload_seqdb(data: np.ndarray) -> jnp.ndarray:
-    """Pack raw seqdb bytes into [n_rows, 128] and move to device.
-
-    Row counts are padded to the next power of two: the array shape is part
-    of every downstream jit cache key, so without padding each dataset
-    would trigger a fresh (minutes-long on the remote runtime) compile.
-    """
-    n_rows = -(-len(data) // 128)
-    # floor of 2^21 rows (256 MB) folds every small/medium dataset into one
-    # shape class; HBM is 16 GB so the padding cost is immaterial
-    n_pad = 1 << max(21, (n_rows - 1).bit_length())
-    rows = np.zeros((n_pad, 128), np.uint8)
-    rows.reshape(-1)[:len(data)] = data
-    return jnp.asarray(rows)
+class PackedSeqDB(NamedTuple):
+    """Two-plane packed seqdb (device arrays; a valid jit argument)."""
+    fw: jnp.ndarray    # [Rf, 128] u8 — 2-bit codes, 4 bases/byte
+    amb: jnp.ndarray   # [Ra, 128] u8 — ambiguity bits, 8 bases/byte
 
 
-def gather_codes(seqdb_rows: jnp.ndarray, off: jnp.ndarray, lens: jnp.ndarray,
+def pack_db_np(data: np.ndarray, guard_bases: int = GUARD_BASES
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Host packing: 4-bit codec bytes -> (fw bytes, amb bytes) with the
+    guard region prepended.  Returns flat byte arrays (not row-shaped)."""
+    assert guard_bases % 1024 == 0
+    nib = (data & 0x0F).astype(np.uint8)
+    code = _CODE_TABLE[nib]
+    amb = _AMB_TABLE[nib]
+    n = len(data) + guard_bases
+    n4 = -(-n // 4) * 4
+    codes_p = np.zeros(n4, np.uint8)
+    codes_p[guard_bases:guard_bases + len(data)] = code
+    c4 = codes_p.reshape(-1, 4)
+    fw = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4)
+          | (c4[:, 3] << 6)).astype(np.uint8)
+    n8 = -(-n // 8) * 8
+    amb_p = np.zeros(n8, bool)
+    amb_p[guard_bases:guard_bases + len(data)] = amb
+    ambb = np.packbits(amb_p, bitorder="little")
+    return fw, ambb
+
+
+def _pad_rows(flat: np.ndarray, floor_rows: int) -> np.ndarray:
+    """[N] bytes -> [rows, 128] with a bounded set of row counts: pow2
+    with 3 mantissa bits (<= 8 shape classes per octave) so dataset size
+    does not recompile downstream jits, without pow2's 2x waste."""
+    n_rows = max(1, -(-len(flat) // 128))
+    if n_rows <= floor_rows:
+        rpad = floor_rows
+    else:
+        unit = max(floor_rows, 1 << max(0, (n_rows - 1).bit_length() - 3))
+        rpad = -(-n_rows // unit) * unit
+    rows = np.zeros((rpad, 128), np.uint8)
+    rows.reshape(-1)[:len(flat)] = flat
+    return rows
+
+
+def upload_seqdb(data: np.ndarray) -> PackedSeqDB:
+    """Pack and move the seqdb to device HBM (one-time per stage)."""
+    fw, ambb = pack_db_np(data)
+    return PackedSeqDB(fw=jnp.asarray(_pad_rows(fw, 1 << 19)),
+                       amb=jnp.asarray(_pad_rows(ambb, 1 << 17)))
+
+
+def gather_offsets(off: np.ndarray, lens: np.ndarray, strand: np.ndarray,
+                   read_start: np.ndarray, L: int):
+    """Host helper: gather start per request.  strand 0 -> window start;
+    strand 1 -> mirrored start (windows must end at their read's end)."""
+    return np.where(strand == 0, off, read_start + lens - L)
+
+
+def _gather_bytes(rows: jnp.ndarray, byte0: jnp.ndarray, nbytes: int):
+    """[B] byte offsets -> [B, nbytes] bytes via whole-row gather + a
+    two-level static-slice select (no element gathers)."""
+    n_rows = rows.shape[0]
+    B = byte0.shape[0]
+    r0 = (byte0 >> 7).astype(jnp.int32)
+    nr = (nbytes + 8) // 128 + 2
+    ridx = r0[:, None] + jnp.arange(nr, dtype=jnp.int32)[None, :]
+    g = jnp.take(rows, jnp.clip(ridx, 0, n_rows - 1), axis=0)
+    flat = g.reshape(B, nr * 128)
+    s1 = ((byte0 >> 3) & 15).astype(jnp.int32)[:, None]
+    cases8 = [flat[:, 8 * i: 8 * i + nbytes + 8] for i in range(16)]
+    raw8 = jax.lax.select_n(jnp.broadcast_to(s1, (B, nbytes + 8)), *cases8)
+    s2 = (byte0 & 7).astype(jnp.int32)[:, None]
+    cases1 = [raw8[:, i: i + nbytes] for i in range(8)]
+    return jax.lax.select_n(jnp.broadcast_to(s2, (B, nbytes)), *cases1)
+
+
+def gather_codes(pdb: PackedSeqDB, goff: jnp.ndarray, lens: jnp.ndarray,
                  strand: jnp.ndarray, L: int, fill: int) -> jnp.ndarray:
-    """[B] windows -> [B, L] 2-bit codes (padding/invalid = fill)."""
-    table = jnp.asarray(_nib_table(fill))
-    n_rows = seqdb_rows.shape[0]
-    nb128 = L // 128 + 2
-    B = off.shape[0]
-    r0 = (off >> 7).astype(jnp.int32)
-    ridx = r0[:, None] + jnp.arange(nb128, dtype=jnp.int32)[None, :]
-    rows = jnp.take(seqdb_rows, jnp.clip(ridx, 0, n_rows - 1), axis=0)
-    flat = rows.reshape(B, nb128 * 128)
-    s1 = ((off >> 3) & 15).astype(jnp.int32)[:, None]
-    cases8 = [flat[:, 8 * i: 8 * i + L + 8] for i in range(16)]
-    raw8 = jax.lax.select_n(jnp.broadcast_to(s1, (B, L + 8)), *cases8)
-    s2 = (off & 7).astype(jnp.int32)[:, None]
-    cases1 = [raw8[:, i: i + L] for i in range(8)]
-    raw = jax.lax.select_n(jnp.broadcast_to(s2, (B, L)), *cases1)
-    nib = jnp.where(strand[:, None] == 0, raw & 0xF, raw >> 4)
-    codes = jnp.take(table, nib.astype(jnp.int32), axis=0)
+    """[B] windows -> [B, L] 2-bit codes (ambiguous/padding = fill).
+
+    goff is the GATHER start from gather_offsets (mirror-adjusted for
+    strand 1); strand 1 output is flipped + complemented on device.
+    """
+    assert L % 8 == 0 and L <= GUARD_BASES
+    B = goff.shape[0]
+    p = goff + GUARD_BASES
+
+    # code plane: 4 bases/byte
+    L4 = L // 4
+    cbytes = _gather_bytes(pdb.fw, p >> 2, L4 + 1)
+    c4 = jnp.stack([(cbytes >> (2 * j)) & 3 for j in range(4)], axis=2)
+    c4 = c4.reshape(B, 4 * (L4 + 1))
+    sc = (p & 3).astype(jnp.int32)[:, None]
+    ccases = [c4[:, j: j + L] for j in range(4)]
+    code = jax.lax.select_n(jnp.broadcast_to(sc, (B, L)), *ccases)
+
+    # ambiguity plane: 8 bases/byte
+    L8 = L // 8
+    abytes = _gather_bytes(pdb.amb, p >> 3, L8 + 1)
+    a8 = jnp.stack([(abytes >> j) & 1 for j in range(8)], axis=2)
+    a8 = a8.reshape(B, 8 * (L8 + 1))
+    sa = (p & 7).astype(jnp.int32)[:, None]
+    acases = [a8[:, j: j + L] for j in range(8)]
+    amb = jax.lax.select_n(jnp.broadcast_to(sa, (B, L)), *acases)
+
+    rev = strand[:, None] == 1
+    code = jnp.where(rev, jnp.flip(code, axis=1) ^ 3, code)
+    amb = jnp.where(rev, jnp.flip(amb, axis=1), amb)
+
+    out = jnp.where(amb == 1, jnp.uint8(fill), code.astype(jnp.uint8))
     inlen = jnp.arange(L)[None, :] < lens[:, None]
-    return jnp.where(inlen, codes, jnp.uint8(fill))
+    return jnp.where(inlen, out, jnp.uint8(fill))

@@ -213,23 +213,29 @@ myers_batch = jax.jit(_myers_core, static_argnames=("nb", "unroll"))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "nb", "unroll"))
-def myers_batch_db(seqdb: jnp.ndarray,
-                   q_off: jnp.ndarray, q_lens: jnp.ndarray, q_strand: jnp.ndarray,
+def myers_batch_db(seqdb,
+                   q_off: jnp.ndarray, q_rstart: jnp.ndarray,
+                   q_lens: jnp.ndarray, q_strand: jnp.ndarray,
                    t_off: jnp.ndarray, t_lens: jnp.ndarray, t_strand: jnp.ndarray,
                    *, L: int, nb: int = 8, unroll: int = 32):
-    """Myers batch with a device-resident packed seqdb.
+    """Myers batch with a device-resident 2-bit packed seqdb.
 
-    The 4-bit dual-strand seqdb lives in HBM once as [n_rows, 128] byte
-    rows; per batch only (offset, length, strand) triplets cross the host
-    link, and the code windows are gathered + nibble-decoded on device
-    (the TPU analog of the reference's shared read-only mmap,
-    SURVEY.md §2.3).
+    The packed planes live in HBM once (ops.dbgather.PackedSeqDB — the TPU
+    analog of the reference's shared read-only mmap, SURVEY.md §2.3); per
+    batch only (offset, length, strand) triplets cross the host link, and
+    the code windows are gathered + unpacked on device.  q_rstart is the
+    query read's start offset (strand-1 windows gather the mirrored
+    forward window; every window ends at its read's end).  Targets are
+    whole reads, so their read start IS t_off.
     """
     from .dbgather import gather_codes
-    qc = gather_codes(seqdb, q_off.astype(jnp.int64), q_lens, q_strand, L,
-                      fill=7)
-    tc = gather_codes(seqdb, t_off.astype(jnp.int64), t_lens, t_strand, L,
-                      fill=7)
+    q_off = q_off.astype(jnp.int64)
+    t_off = t_off.astype(jnp.int64)
+    qgo = jnp.where(q_strand == 0, q_off,
+                    q_rstart.astype(jnp.int64) + q_lens - L)
+    tgo = jnp.where(t_strand == 0, t_off, t_off + t_lens - L)
+    qc = gather_codes(seqdb, qgo, q_lens, q_strand, L, fill=7)
+    tc = gather_codes(seqdb, tgo, t_lens, t_strand, L, fill=7)
     return _myers_core(qc, q_lens, tc, t_lens, nb=nb, unroll=unroll)
 
 

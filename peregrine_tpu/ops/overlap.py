@@ -514,13 +514,14 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         from ..parallel.sharded_index import make_mesh
         from ..parallel.sharded_overlap import shard_seqdb, sharded_align
         mesh = make_mesh()
-        sdb = shard_seqdb(db.data, db.offsets, mesh)
+        sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
     else:
         from .dbgather import upload_seqdb
         seqdb_dev = upload_seqdb(db.data)
 
     # fully-vectorized request fields
-    qo_all = offsets[r0a] + p0a - p1a
+    qr_all = offsets[r0a]
+    qo_all = qr_all + p0a - p1a
     ql_all = lengths[r0a] - (p0a - p1a)
     to_all = offsets[r1a]
     tl_all = lengths[r1a]
@@ -543,10 +544,10 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
             return jnp.asarray(a)
         try:
             return myers_batch_db(
-                seqdb_dev, col(qo_all, np.int64), col(ql_all, np.int32),
-                col(s0a, np.int32), col(to_all, np.int64),
-                col(tl_all, np.int32), col(s1a, np.int32),
-                L=pad, nb=8, unroll=unroll)
+                seqdb_dev, col(qo_all, np.int64), col(qr_all, np.int64),
+                col(ql_all, np.int32), col(s0a, np.int32),
+                col(to_all, np.int64), col(tl_all, np.int32),
+                col(s1a, np.int32), L=pad, nb=8, unroll=unroll)
         except Exception as e:  # device/compile failure: replay falls back
             log.warning("device alignment batch failed (%s); "
                         "native fallback", e)

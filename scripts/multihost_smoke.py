@@ -63,7 +63,7 @@ def worker(rank: int) -> None:
     assert total > 0, "no index records produced"
 
     from peregrine_tpu.parallel.sharded_overlap import shard_seqdb, sharded_align
-    sdb = shard_seqdb(db.data, db.offsets, mesh)
+    sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
     nreq = 2 * n_global
     q_rid = rng.integers(0, len(db), nreq)
     t_rid = rng.integers(0, len(db), nreq)

@@ -36,7 +36,7 @@ def timeit(name, fn, n=6):
         out = fn()
     jax.block_until_ready(out)
     dt = (time.time() - t0) / n
-    print(f"{name:40s} {dt*1e3:9.2f} ms")
+    print(f"{name:40s} {dt*1e3:9.2f} ms", flush=True)
     return dt
 
 

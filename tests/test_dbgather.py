@@ -1,0 +1,99 @@
+"""Packed device seqdb gather vs the 4-bit codec semantics.
+
+Oracle: the byte-per-base dual-strand codec (reference
+src/shmr_utils.c:44-62) — strand 0 reads low nibbles at [off, off+L),
+strand 1 reads high nibbles (= complement of the mirrored forward base).
+The packed gather must reproduce it exactly for windows ending at their
+read's end (the only windows the aligner issues), including ambiguous
+bases and sub-byte offsets.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from peregrine_tpu.ops.dbgather import (GUARD_BASES, gather_codes,
+                                        gather_offsets, pack_db_np,
+                                        upload_seqdb)
+
+_NIB2CODE = {1: 0, 2: 1, 4: 2, 8: 3}
+
+
+def _oracle(data, off, ln, strand, L, fill):
+    out = np.full(L, fill, np.uint8)
+    for i in range(min(ln, L)):
+        b = data[off + i]
+        nib = (b & 0xF) if strand == 0 else (b >> 4)
+        out[i] = _NIB2CODE.get(int(nib), fill)
+    return out
+
+
+def _random_db(rng, n_reads=40, min_len=200, max_len=3000, n_frac=0.01):
+    """Random 4-bit codec db with dual-strand nibbles and some N bases."""
+    f_map = np.array([1, 2, 4, 8], np.uint8)
+    lengths = rng.integers(min_len, max_len, n_reads)
+    chunks, offsets = [], []
+    pos = 0
+    for n in lengths:
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        amb = rng.random(n) < n_frac
+        fw = np.where(amb, 15, f_map[codes])
+        # high nibble at p = complement code of base at n-1-p
+        rc = np.where(amb, 15, f_map[codes ^ 3])[::-1]
+        chunks.append((fw | (rc << 4)).astype(np.uint8))
+        offsets.append(pos)
+        pos += int(n)
+    return (np.concatenate(chunks), np.asarray(offsets, np.int64),
+            lengths.astype(np.int64))
+
+
+def test_gather_codes_matches_4bit_oracle(rng):
+    data, offsets, lengths = _random_db(rng)
+    pdb = upload_seqdb(data)
+
+    B, L = 64, 4096  # L >= max read length: windows always end at read end
+    rid = rng.integers(0, len(offsets), B)
+    shift = np.minimum(rng.integers(0, 300, B), lengths[rid] - 1)
+    off = offsets[rid] + shift
+    ln = (lengths[rid] - shift).astype(np.int32)
+    strand = rng.integers(0, 2, B).astype(np.int32)
+
+    goff = gather_offsets(off, ln, strand, offsets[rid], L)
+    got = np.asarray(gather_codes(pdb, jnp.asarray(goff),
+                                  jnp.asarray(ln), jnp.asarray(strand),
+                                  L, fill=7))
+    for b in range(B):
+        want = _oracle(data, int(off[b]), int(ln[b]), int(strand[b]), L, 7)
+        np.testing.assert_array_equal(got[b], want, err_msg=f"lane {b}")
+
+
+def test_gather_negative_mirror_start(rng):
+    """A short strand-1 read at the very start of the db gathers from a
+    negative (guard-covered) offset."""
+    data, offsets, lengths = _random_db(rng, n_reads=3, min_len=100,
+                                        max_len=200)
+    pdb = upload_seqdb(data)
+    L = 1024
+    assert offsets[0] + lengths[0] < L  # mirror start is negative
+    ln = np.asarray([lengths[0]], np.int32)
+    strand = np.ones(1, np.int32)
+    goff = gather_offsets(offsets[:1], ln, strand, offsets[:1], L)
+    assert goff[0] < 0
+    got = np.asarray(gather_codes(pdb, jnp.asarray(goff), jnp.asarray(ln),
+                                  jnp.asarray(strand), L, fill=7))
+    want = _oracle(data, int(offsets[0]), int(ln[0]), 1, L, 7)
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_pack_db_np_guard_and_planes(rng):
+    data = np.array([1, 2, 4, 8, 15, 1, 2, 3], np.uint8)  # 3 = amb nibble
+    fw, amb = pack_db_np(data, guard_bases=1024)
+    codes = np.zeros(1024 + 8, np.uint8)
+    codes[1024:1032] = [0, 1, 2, 3, 0, 0, 1, 0]
+    ambs = np.zeros(1024 + 8, bool)
+    ambs[1028] = True
+    ambs[1031] = True
+    c4 = codes[:len(fw) * 4].reshape(-1, 4)
+    want_fw = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6))
+    np.testing.assert_array_equal(fw, want_fw.astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.unpackbits(amb, bitorder="little")[:len(ambs)], ambs)

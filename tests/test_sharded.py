@@ -60,7 +60,7 @@ def test_sharded_overlap_align_matches_single_device(rng):
                               circular_wrap=2000)
     db = SeqDB.from_reads(reads)
     mesh = make_mesh(8)
-    sdb = shard_seqdb(db.data, db.offsets, mesh)
+    sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
 
     # every read must live whole inside its owner's shard
     n = mesh.devices.size
@@ -89,6 +89,7 @@ def test_sharded_overlap_align_matches_single_device(rng):
     import jax
     d1, qe1, te1 = jax.device_get(myers_batch_db(
         dev, jnp.asarray(q_off.astype(np.int64)),
+        jnp.asarray(db.offsets[q_rid].astype(np.int64)),
         jnp.asarray(q_len.astype(np.int32)),
         jnp.asarray(q_strand.astype(np.int32)),
         jnp.asarray(t_off.astype(np.int64)),
