@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: stable stream compaction entirely in VMEM.
+
+The sketch/reduce compactions were the index pipeline's cost center: a
+stable [B, L] sort costs ~19 ms marginal at [512, 32k] on v5e, and the
+XLA log-shift reformulation (ops.sketch._shift_compact) still round-trips
+every operand through HBM once per bit pass (~15 passes).  Here the same
+log-shift algorithm runs on row tiles held in VMEM: HBM sees each operand
+once in and once out (~0.5 ms of traffic), and the bit passes are VPU
+rolls+selects on-chip.
+
+Semantics are identical to _shift_compact (see its correctness argument):
+kept entries move to the row front in stable order, dropped entries
+become the per-operand fill value, counts are exact.  Equality with the
+XLA path is asserted in tests/test_sketch.py (interpret mode on CPU).
+
+Operands are uint32 planes; 64-bit operands are split into (lo, hi) by
+the dispatcher (ops.sketch._compact) — TPU vector lanes are 32-bit and
+Mosaic's u64 support is emulated, so explicit planes are both faster and
+safer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# NOTE: x64 is globally enabled (peregrine_tpu import), so Python-int
+# shifts/literals would trace as int64, which Mosaic cannot lower
+# (tpu.dynamic_rotate wants i32; int64->int32 converts recurse) — every
+# scalar below is an explicit int32.
+
+
+def _roll_right(x, s, fill):
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < jnp.int32(s), jnp.asarray(fill, x.dtype),
+                     pltpu.roll(x, np.int32(s), axis=1))
+
+
+def _roll_left(x, s, fill):
+    L = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col >= jnp.int32(L - s), jnp.asarray(fill, x.dtype),
+                     pltpu.roll(x, np.int32((L - s) % L), axis=1))
+
+
+def _make_kernel(n_planes: int, fills: tuple, K: int):
+    def kernel(keep_ref, *refs):
+        ins = refs[:n_planes]
+        outs = refs[n_planes:2 * n_planes]
+        cnt_ref = refs[2 * n_planes]
+        keep = keep_ref[:]                       # [R, L] int32 0/1
+        R, L = keep.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+        # inclusive prefix sum of keep along lanes (log-shift adds)
+        cvk = keep
+        s = 1
+        while s < L:
+            cvk = cvk + _roll_right(cvk, s, 0)
+            s *= 2
+        cnt_ref[:] = cvk[:, L - 128:]            # count = [:, -1] outside
+
+        kept = keep == jnp.int32(1)
+        # drops before each kept entry
+        r = jnp.where(kept, col - cvk + jnp.int32(1), jnp.int32(0))
+        planes = [jnp.where(kept, ref[:], jnp.asarray(f, jnp.uint32))
+                  for ref, f in zip(ins, fills)]
+        for k in range(K):
+            bit = 1 << k
+            r_s = _roll_left(r, bit, 0)
+            take = (r_s & jnp.int32(bit)) != jnp.int32(0)
+            stay = (r & jnp.int32(bit)) == jnp.int32(0)
+            planes = [jnp.where(take, _roll_left(p, bit, f),
+                                jnp.where(stay, p, jnp.asarray(f, jnp.uint32)))
+                      for p, f in zip(planes, fills)]
+            r = jnp.where(take, r_s, jnp.where(stay, r, jnp.int32(0)))
+        for o, p in zip(outs, planes):
+            o[:] = p
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fills", "rows", "interpret"))
+def compact_planes(keep: jnp.ndarray, planes: tuple, fills: tuple,
+                   rows: int = 8, interpret: bool = False):
+    """Compact uint32 planes by a shared keep mask.
+
+    Args:
+      keep:   [B, L] int32 (0/1), B % rows == 0, L % 128 == 0.
+      planes: tuple of [B, L] uint32 arrays.
+      fills:  per-plane hole value (static).
+
+    Returns (planes', count[B] int32).
+    """
+    B, L = keep.shape
+    assert B % rows == 0 and L % 128 == 0
+    n = len(planes)
+    K = max(1, (L - 1).bit_length())
+    kern = _make_kernel(n, fills, K)
+    zero = np.int32(0)  # a bare 0 traces as i64 under x64 and kills Mosaic
+    blk = pl.BlockSpec((rows, L), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(B // rows,),
+        in_specs=[blk] * (n + 1),
+        out_specs=[blk] * n + [cblk],
+        out_shape=[jax.ShapeDtypeStruct((B, L), jnp.uint32)] * n
+        + [jax.ShapeDtypeStruct((B, 128), jnp.int32)],
+        interpret=interpret,
+    )(keep, *planes)
+    return tuple(outs[:n]), outs[n][:, -1]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sketch import INF, _shift_right, _sort_compact
+from .sketch import INF, _compact, _shift_right
 
 
 def reduce_impl(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
@@ -57,7 +57,7 @@ def reduce_impl(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray, *, r: int):
 
     ox = jnp.where(emit, best_x, INF)
     oy = jnp.where(emit, best_y, INF)
-    (ox, oy), ocount = _sort_compact(emit, [ox, oy])
+    (ox, oy), ocount = _compact(emit, [ox, oy])
     return ox, oy, ocount
 
 

@@ -113,6 +113,90 @@ def _sort_compact(keep: jnp.ndarray, operands: list[jnp.ndarray]):
     return list(out[1:]), jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
+def _shift_compact(keep: jnp.ndarray, operands: list[jnp.ndarray],
+                   fills: list | None = None):
+    """Stable-compact kept entries to the row front WITHOUT a sort.
+
+    Each kept entry's left-shift distance r = number of dropped entries
+    before it, which is non-decreasing along the row, so moving elements
+    by the bits of r from LSB to MSB never collides (after bits 0..k the
+    position is  orig - (r mod 2^(k+1)); for kept i < j,
+    (r_j mod M) - (r_i mod M) <= r_j - r_i <= j - i - 1, strict order is
+    preserved).  log2(L) masked static-shift passes replace the stable
+    sort that profiled ~5x the cost of every other sketch primitive
+    combined (scripts/profile_index2.py).  Returns the same
+    (operands, counts) as _sort_compact; dropped entries become `fills`
+    (default: the INF padding) instead of riding to the row tail.
+    """
+    B, L = keep.shape
+    if fills is None:
+        fills = [INF] * len(operands)
+    cvk = jnp.cumsum(keep, axis=1, dtype=jnp.int32)
+    count = cvk[:, -1]
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    r = jnp.where(keep, col - cvk + 1, 0)
+    outs = [jnp.where(keep, a, jnp.asarray(f, a.dtype))
+            for a, f in zip(operands, fills)]
+    for k in range(max(1, (L - 1).bit_length())):
+        bit = jnp.int32(1 << k)
+        r_s = _shift_left(r, 1 << k, jnp.int32(0))
+        take = (r_s & bit) != 0
+        stay = (r & bit) == 0
+        outs = [jnp.where(take, _shift_left(a, 1 << k, jnp.asarray(f, a.dtype)),
+                          jnp.where(stay, a, jnp.asarray(f, a.dtype)))
+                for a, f in zip(outs, fills)]
+        r = jnp.where(take, r_s, jnp.where(stay, r, 0))
+    return outs, count
+
+
+def _compact(keep: jnp.ndarray, operands: list[jnp.ndarray],
+             fills: list | None = None):
+    """Stable compaction dispatcher: the Pallas VMEM kernel on TPU
+    (ops.compact_pallas — HBM sees each operand once), the XLA log-shift
+    path elsewhere.  Identical outputs (equality tested in
+    tests/test_sketch.py)."""
+    if fills is None:
+        fills = [INF] * len(operands)
+    B, L = keep.shape
+    if jax.default_backend() == "cpu" or B % 8 != 0 or L % 128 != 0:
+        return _shift_compact(keep, operands, fills)
+    from .compact_pallas import compact_planes
+    planes: list = []
+    f32: list = []
+    kinds: list = []
+    for a, f in zip(operands, fills):
+        fv = int(jnp.asarray(f, a.dtype)) if not isinstance(f, int) else f
+        if a.dtype == jnp.uint64:
+            planes += [(a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                       (a >> jnp.uint64(32)).astype(jnp.uint32)]
+            f32 += [fv & 0xFFFFFFFF, (fv >> 32) & 0xFFFFFFFF]
+            kinds.append("u64")
+        else:
+            planes.append(jax.lax.bitcast_convert_type(a, jnp.uint32))
+            f32.append(fv & 0xFFFFFFFF)
+            kinds.append(str(a.dtype))
+    # one plane per pallas_call: the [B, L] working set of a multi-plane
+    # kernel exceeds the 16 MB VMEM at L=32k (each call redoes the cheap
+    # prefix-sum; the K shift passes dominate)
+    keep32 = keep.astype(jnp.int32)
+    outs = []
+    count = None
+    for p, f in zip(planes, f32):
+        (o,), count = compact_planes(keep32, (p,), (f,))
+        outs.append(o)
+    res = []
+    i = 0
+    for a, kind in zip(operands, kinds):
+        if kind == "u64":
+            res.append(outs[i].astype(jnp.uint64)
+                       | (outs[i + 1].astype(jnp.uint64) << jnp.uint64(32)))
+            i += 2
+        else:
+            res.append(jax.lax.bitcast_convert_type(outs[i], a.dtype))
+            i += 1
+    return res, count
+
+
 def sketch_impl(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
                 *, w: int, k: int):
     """Sketch a padded batch of reads.
@@ -188,7 +272,7 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
               | amb.astype(jnp.uint64))
     inc = vns | amb
     pk = jnp.where(inc, packed, INF)
-    (spk,), n = _sort_compact(inc, [pk])
+    (spk,), n = _compact(inc, [pk])
 
     scol = jnp.arange(L)[None, :]
     in_n = scol < n[:, None]
@@ -213,7 +297,7 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
     emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
 
     opk = jnp.where(emit, spk, INF)
-    (ospk,), count = _sort_compact(emit, [opk])
+    (ospk,), count = _compact(emit, [opk])
 
     out_valid = scol < count[:, None]
     oh = ospk >> jnp.uint64(P + 2)
@@ -279,7 +363,8 @@ def _sketch_impl_wide(codes: jnp.ndarray, lengths: jnp.ndarray,
     inc = vns | amb
     li = jnp.where(inc & vns, l, 0)
     x = jnp.where(inc & defined, x, INF)
-    (sx, sy, sl), n = _sort_compact(inc, [x, y, li])
+    (sx, sy, sl), n = _compact(inc, [x, y, li],
+                               fills=[INF, INF, jnp.int32(0)])
 
     # --- window minima + emission set ------------------------------------
     W = _sliding_min_trailing(sx, w, INF)
@@ -302,7 +387,7 @@ def _sketch_impl_wide(codes: jnp.ndarray, lengths: jnp.ndarray,
     # --- output compaction ----------------------------------------------
     ox = jnp.where(emit, sx, INF)
     oy = jnp.where(emit, sy, INF)
-    (ox, oy), count = _sort_compact(emit, [ox, oy])
+    (ox, oy), count = _compact(emit, [ox, oy])
     return ox, oy, count
 
 

@@ -136,3 +136,45 @@ def test_sketch_long_matches_single_shot(rng):
     gx, gy = sketch_long_np(codes, 7, 80, 16, seg=1 << 15, margin=1 << 12)
     got = list(zip(gx.tolist(), gy.tolist()))
     assert got == want
+
+
+def test_shift_compact_matches_sort_compact(rng):
+    from peregrine_tpu.ops.sketch import _shift_compact, _sort_compact, INF
+    import jax.numpy as jnp
+
+    for B, L, p in ((8, 512, 0.97), (4, 1024, 0.03), (3, 64, 0.5),
+                    (2, 128, 0.0), (2, 128, 1.0)):
+        keep = rng.random((B, L)) < p
+        vals = rng.integers(0, 2**63, (B, L)).astype(np.uint64)
+        vals = np.where(keep, vals, np.uint64(0xFFFFFFFFFFFFFFFF))
+        aux = rng.integers(0, 100, (B, L)).astype(np.int32)
+        aux = np.where(keep, aux, 0)
+        k = jnp.asarray(keep)
+        (sv, sa), sn = _sort_compact(k, [jnp.asarray(vals), jnp.asarray(aux)])
+        (hv, ha), hn = _shift_compact(k, [jnp.asarray(vals), jnp.asarray(aux)],
+                                      fills=[INF, jnp.int32(0)])
+        np.testing.assert_array_equal(np.asarray(sn), np.asarray(hn))
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(hv))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(ha))
+
+
+def test_compact_pallas_interpret_matches_shift(rng):
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.compact_pallas import compact_planes
+    from peregrine_tpu.ops.sketch import _shift_compact
+
+    B, L = 8, 512
+    for p in (0.9, 0.05, 0.0, 1.0):
+        keep = rng.random((B, L)) < p
+        p1 = rng.integers(0, 2**32, (B, L)).astype(np.uint32)
+        p2 = rng.integers(0, 2**32, (B, L)).astype(np.uint32)
+        (o1, o2), cnt = compact_planes(
+            jnp.asarray(keep.astype(np.int32)),
+            (jnp.asarray(p1), jnp.asarray(p2)),
+            (0xFFFFFFFF, 0), interpret=True)
+        (s1, s2), scnt = _shift_compact(
+            jnp.asarray(keep), [jnp.asarray(p1), jnp.asarray(p2)],
+            fills=[jnp.uint32(0xFFFFFFFF), jnp.uint32(0)])
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(scnt))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(o2), np.asarray(s2))
