@@ -86,22 +86,27 @@ def _make_kernel(n_planes: int, fills: tuple, K: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fills", "rows", "interpret"))
+                   static_argnames=("fills", "rows", "interpret", "passes"))
 def compact_planes(keep: jnp.ndarray, planes: tuple, fills: tuple,
-                   rows: int = 8, interpret: bool = False):
+                   rows: int = 8, interpret: bool = False,
+                   passes: int | None = None):
     """Compact uint32 planes by a shared keep mask.
 
     Args:
       keep:   [B, L] int32 (0/1), B % rows == 0, L % 128 == 0.
       planes: tuple of [B, L] uint32 arrays.
       fills:  per-plane hole value (static).
+      passes: bit passes to run (default log2(L) — any shift distance).
+              Callers may pass fewer when they can bound the max shift
+              (wrong results if the bound is violated — guard with a
+              lax.cond on the actual max, as ops.sketch._compact does).
 
     Returns (planes', count[B] int32).
     """
     B, L = keep.shape
     assert B % rows == 0 and L % 128 == 0
     n = len(planes)
-    K = max(1, (L - 1).bit_length())
+    K = max(1, (L - 1).bit_length()) if passes is None else passes
     kern = _make_kernel(n, fills, K)
     zero = np.int32(0)  # a bare 0 traces as i64 under x64 and kills Mosaic
     blk = pl.BlockSpec((rows, L), lambda i: (i, zero),

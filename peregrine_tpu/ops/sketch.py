@@ -150,11 +150,16 @@ def _shift_compact(keep: jnp.ndarray, operands: list[jnp.ndarray],
 
 
 def _compact(keep: jnp.ndarray, operands: list[jnp.ndarray],
-             fills: list | None = None):
+             fills: list | None = None, usually_dense: bool = False):
     """Stable compaction dispatcher: the Pallas VMEM kernel on TPU
     (ops.compact_pallas — HBM sees each operand once), the XLA log-shift
     path elsewhere.  Identical outputs (equality tested in
-    tests/test_sketch.py)."""
+    tests/test_sketch.py).
+
+    usually_dense: accepted for call-site documentation (the sketch's
+    first compaction only drops strand-symmetric k-mers); the pass count
+    is currently unconditional — see the note below.
+    """
     if fills is None:
         fills = [INF] * len(operands)
     B, L = keep.shape
@@ -179,6 +184,10 @@ def _compact(keep: jnp.ndarray, operands: list[jnp.ndarray],
     # kernel exceeds the 16 MB VMEM at L=32k (each call redoes the cheap
     # prefix-sum; the K shift passes dominate)
     keep32 = keep.astype(jnp.int32)
+
+    # (a lax.cond that ran 4 bit passes for usually-dense masks measured
+    # SLOWER end-to-end than unconditional full passes — the cond barrier
+    # plus the XLA max-shift reduction cost more than the passes saved)
     outs = []
     count = None
     for p, f in zip(planes, f32):
@@ -272,7 +281,7 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
               | amb.astype(jnp.uint64))
     inc = vns | amb
     pk = jnp.where(inc, packed, INF)
-    (spk,), n = _compact(inc, [pk])
+    (spk,), n = _compact(inc, [pk], usually_dense=True)
 
     scol = jnp.arange(L)[None, :]
     in_n = scol < n[:, None]
