@@ -85,6 +85,98 @@ def _make_kernel(n_planes: int, fills: tuple, K: int):
     return kernel
 
 
+def _make_emit_kernel(w: int, k: int, L: int):
+    INF32 = 0xFFFFFFFF
+
+    def kernel(h_ref, p_ref, n_ref, emit_ref):
+        sH = h_ref[:]                       # [R, L] u32 hashes (INF = hole)
+        sPl = p_ref[:]                      # [R, L] u32 pos|strand|amb
+        n = n_ref[:, :1]                    # [R, 1] i32 row counts
+        R = sH.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        in_n = col < n
+        samb = ((sPl & jnp.uint32(1)) != jnp.uint32(0)) & in_n
+
+        # svns-run length since the last ambiguous reset = column distance
+        # to the last amb placeholder (prefix max)
+        la = jnp.where(samb, col, jnp.int32(-1))
+        s = 1
+        while s < L:
+            la = jnp.maximum(la, _roll_right(la, s, -1))
+            s *= 2
+        sl = col - la
+
+        # Mosaic has no unsigned min/max, so all extrema run in the
+        # order-preserving signed domain x ^ 0x8000_0000 (INF32 -> INT_MAX,
+        # 0 -> INT_MIN)
+        IMAX = jnp.int32(0x7FFFFFFF)
+        IMIN = jnp.int32(-0x80000000)
+        sHi = pltpu.bitcast(sH ^ jnp.uint32(0x80000000), jnp.int32)
+
+        # trailing sliding min of sH over w (power-of-two sparse table)
+        m = sHi
+        j = 1
+        while 2 * j <= w:
+            m = jnp.minimum(m, _roll_right(m, j, 0x7FFFFFFF))
+            j *= 2
+        W = jnp.minimum(m, _roll_right(m, w - j, 0x7FFFFFFF)) if w > j else m
+
+        complete = (sl >= jnp.int32(w + k - 1)) & in_n
+        Ap = jnp.where(complete, W, IMIN)
+
+        # leading sliding max of Ap over w
+        mm = Ap
+        j = 1
+        while 2 * j <= w:
+            mm = jnp.maximum(mm, _roll_left(mm, j, -0x80000000))
+            j *= 2
+        M = jnp.maximum(mm, _roll_left(mm, w - j, -0x80000000)) if w > j \
+            else mm
+
+        emit = (sHi != IMAX) & (M == sHi)
+
+        # held minimum of the final window (newest tie wins)
+        in_final = (col >= n - jnp.int32(w)) & in_n
+        xmi = jnp.where(in_final, sHi, IMAX)
+        fmin = jnp.min(xmi, axis=1, keepdims=True)
+        t_f = jnp.max(jnp.where((xmi == fmin) & in_final, col, jnp.int32(-1)),
+                      axis=1, keepdims=True)
+        has_final = (fmin != IMAX) & (t_f >= jnp.int32(0))
+        emit = emit | ((col == t_f) & has_final)
+        emit_ref[:] = emit.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "k", "rows", "interpret"))
+def emit_mask(sH: jnp.ndarray, sPl: jnp.ndarray, n: jnp.ndarray,
+              *, w: int, k: int, rows: int = 8, interpret: bool = False):
+    """Fused window-minimum emission mask for the packed sketch
+    (the XLA block in ops.sketch._sketch_impl_packed is the semantic
+    reference; equality is tested in tests/test_sketch.py).
+
+    sH/sPl: [B, L] compacted stream planes; n: [B] int32 counts.
+    Returns [B, L] int32 (0/1).
+    """
+    B, L = sH.shape
+    assert B % rows == 0 and L % 128 == 0 and 0 < w < L
+    nb = jnp.broadcast_to(n.astype(jnp.int32)[:, None], (B, 128))
+    zero = np.int32(0)
+    blk = pl.BlockSpec((rows, L), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_emit_kernel(w, k, L),
+        grid=(B // rows,),
+        in_specs=[blk, blk, cblk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+        interpret=interpret,
+    )(sH, sPl, nb)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fills", "rows", "interpret", "passes"))
 def compact_planes(keep: jnp.ndarray, planes: tuple, fills: tuple,

@@ -237,9 +237,12 @@ def sketch_impl(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
 
 def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
                         rids: jnp.ndarray, *, w: int, k: int):
+    """k <= 16 fast path: the whole stream rides in TWO uint32 planes —
+    H = hash, P = pos<<2|strand<<1|amb — keeping every hot op off the
+    TPU's emulated-int64 lane; uint64 x/y records are assembled only at
+    the very end."""
     B, L = codes.shape
-    P = max(1, (L - 1).bit_length())
-    assert 32 + P + 2 <= 64, "pad length too large for packed sketch"
+    assert (L - 1).bit_length() + 2 <= 32
     mask = jnp.uint32((1 << (2 * k)) - 1)
     INF32 = jnp.uint32(0xFFFFFFFF)
     pos = jnp.arange(L)[None, :]
@@ -271,52 +274,59 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
     l = cvns - at_amb
     defined = vns & (l >= k)
 
-    # pack (hash | pos | strand | amb) into one sort operand; warmup and
-    # ambiguous entries carry hash 0xFFFFFFFF (the reference ring buffer
-    # holds UINT64_MAX for those slots, src/mm_sketch.c:118-127)
-    hpack = jnp.where(defined, hsh, INF32).astype(jnp.uint64)
-    packed = ((hpack << jnp.uint64(P + 2))
-              | (pos.astype(jnp.uint64) << jnp.uint64(2))
-              | (strand.astype(jnp.uint64) << jnp.uint64(1))
-              | amb.astype(jnp.uint64))
+    # warmup and ambiguous entries carry hash 0xFFFFFFFF (the reference
+    # ring buffer holds UINT64_MAX for those slots, src/mm_sketch.c:118-127)
+    H = jnp.where(defined, hsh, INF32)
+    Pl = ((pos.astype(jnp.uint32) << jnp.uint32(2))
+          | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
     inc = vns | amb
-    pk = jnp.where(inc, packed, INF)
-    (spk,), n = _compact(inc, [pk], usually_dense=True)
+    (sH, sPl), n = _compact(inc, [H, Pl],
+                            fills=[0xFFFFFFFF, 0xFFFFFFFF],
+                            usually_dense=True)
 
     scol = jnp.arange(L)[None, :]
-    in_n = scol < n[:, None]
-    samb = ((spk & jnp.uint64(1)) != 0) & in_n
-    svns = in_n & ~samb
-    scv = jnp.cumsum(svns, axis=1).astype(jnp.int32)
-    s_at_amb = jax.lax.cummax(jnp.where(samb, scv, 0), axis=1)
-    sl = scv - s_at_amb
+    if jax.default_backend() != "cpu" and B % 8 == 0 and L % 128 == 0 \
+            and 0 < w < L:
+        # fused Pallas emission mask (ops.compact_pallas.emit_mask); the
+        # XLA block below is the semantic reference (equality tested in
+        # tests/test_sketch.py)
+        from .compact_pallas import emit_mask
+        emit = emit_mask(sH, sPl, n, w=w, k=k) != 0
+    else:
+        in_n = scol < n[:, None]
+        samb = ((sPl & jnp.uint32(1)) != 0) & in_n
+        # every stream entry is svns or an amb placeholder, so the svns
+        # count since the last reset is just the column distance to the
+        # last amb (one prefix-max instead of a prefix-sum + prefix-max)
+        last_amb = jax.lax.cummax(jnp.where(samb, scol, -1), axis=1)
+        sl = (scol - last_amb).astype(jnp.int32)
 
-    shash = (spk >> jnp.uint64(P + 2)).astype(jnp.uint32)
-    W = _sliding_min_trailing(shash, w, INF32)
-    complete = sl >= (w + k - 1)
-    Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
-    M = _sliding_max_leading(Ap, w, jnp.uint32(0))
-    emit = (shash != INF32) & (M == shash)
+        W = _sliding_min_trailing(sH, w, INF32)
+        complete = sl >= (w + k - 1)
+        Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
+        M = _sliding_max_leading(Ap, w, jnp.uint32(0))
+        emit = (sH != INF32) & (M == sH)
 
-    in_final = (scol >= (n[:, None] - w)) & in_n
-    xm = jnp.where(in_final, shash, INF32)
-    fmin = jnp.min(xm, axis=1)
-    t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1), axis=1)
-    has_final = (fmin != INF32) & (t_f >= 0)
-    emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
+        in_final = (scol >= (n[:, None] - w)) & in_n
+        xm = jnp.where(in_final, sH, INF32)
+        fmin = jnp.min(xm, axis=1)
+        t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1),
+                      axis=1)
+        has_final = (fmin != INF32) & (t_f >= 0)
+        emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
 
-    opk = jnp.where(emit, spk, INF)
-    (ospk,), count = _compact(emit, [opk])
+    (oH, oPl), count = _compact(emit, [sH, sPl],
+                                fills=[0xFFFFFFFF, 0xFFFFFFFF])
 
     out_valid = scol < count[:, None]
-    oh = ospk >> jnp.uint64(P + 2)
-    opos = (ospk >> jnp.uint64(2)) & jnp.uint64((1 << P) - 1)
-    ostrand = (ospk >> jnp.uint64(1)) & jnp.uint64(1)
-    ox = jnp.where(out_valid, (oh << jnp.uint64(8)) | jnp.uint64(k), INF)
+    ox = jnp.where(out_valid,
+                   (oH.astype(jnp.uint64) << jnp.uint64(8)) | jnp.uint64(k),
+                   INF)
     oy = jnp.where(
         out_valid,
         (rids[:, None].astype(jnp.uint64) << jnp.uint64(32))
-        | (opos << jnp.uint64(1)) | ostrand,
+        | ((oPl.astype(jnp.uint64) >> jnp.uint64(2)) << jnp.uint64(1))
+        | ((oPl.astype(jnp.uint64) >> jnp.uint64(1)) & jnp.uint64(1)),
         INF)
     return ox, oy, count
 

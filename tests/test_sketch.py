@@ -178,3 +178,53 @@ def test_compact_pallas_interpret_matches_shift(rng):
         np.testing.assert_array_equal(np.asarray(cnt), np.asarray(scnt))
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(s1))
         np.testing.assert_array_equal(np.asarray(o2), np.asarray(s2))
+
+
+def test_emit_mask_pallas_interpret_matches_xla(rng):
+    """The fused Pallas emission kernel equals the XLA reference block on
+    random compacted streams (incl. amb placeholders, warmup INF hashes,
+    short rows)."""
+    import jax
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.compact_pallas import emit_mask
+    from peregrine_tpu.ops.sketch import (_sliding_min_trailing,
+                                          _sliding_max_leading)
+
+    B, L, w, k = 8, 1024, 24, 12
+    INF32 = np.uint32(0xFFFFFFFF)
+    n = rng.integers(0, L, B).astype(np.int32)
+    n[0] = 0
+    n[1] = L
+    sH = rng.integers(0, 2**32, (B, L)).astype(np.uint32)
+    amb = rng.random((B, L)) < 0.02
+    warm = rng.random((B, L)) < 0.05
+    sH = np.where(amb | warm, INF32, sH)
+    sPl = ((rng.integers(0, L, (B, L)).astype(np.uint32) << np.uint32(2))
+           | rng.integers(0, 2, (B, L)).astype(np.uint32) << np.uint32(1)
+           | amb.astype(np.uint32))
+    col = np.arange(L)[None, :]
+    hole = col >= n[:, None]
+    sH = np.where(hole, INF32, sH)
+    sPl = np.where(hole, INF32, sPl)
+
+    got = np.asarray(emit_mask(jnp.asarray(sH), jnp.asarray(sPl),
+                               jnp.asarray(n), w=w, k=k, interpret=True)) != 0
+
+    # XLA reference block (mirrors ops.sketch._sketch_impl_packed)
+    scol = jnp.arange(L)[None, :]
+    in_n = scol < jnp.asarray(n)[:, None]
+    samb = ((jnp.asarray(sPl) & jnp.uint32(1)) != 0) & in_n
+    last_amb = jax.lax.cummax(jnp.where(samb, scol, -1), axis=1)
+    sl = (scol - last_amb).astype(jnp.int32)
+    W = _sliding_min_trailing(jnp.asarray(sH), w, jnp.uint32(0xFFFFFFFF))
+    complete = sl >= (w + k - 1)
+    Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
+    M = _sliding_max_leading(Ap, w, jnp.uint32(0))
+    emit = (jnp.asarray(sH) != jnp.uint32(0xFFFFFFFF)) & (M == jnp.asarray(sH))
+    in_final = (scol >= (jnp.asarray(n)[:, None] - w)) & in_n
+    xm = jnp.where(in_final, jnp.asarray(sH), jnp.uint32(0xFFFFFFFF))
+    fmin = jnp.min(xm, axis=1)
+    t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1), axis=1)
+    has_final = (fmin != jnp.uint32(0xFFFFFFFF)) & (t_f >= 0)
+    emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
+    np.testing.assert_array_equal(got, np.asarray(emit))
