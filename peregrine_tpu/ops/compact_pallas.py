@@ -85,6 +85,116 @@ def _make_kernel(n_planes: int, fills: tuple, K: int):
     return kernel
 
 
+def _hash64_u32(key, mask):
+    """hash64 with static int shift amounts (Mosaic-friendly); same
+    algebra as ops.sketch.hash64 on uint32."""
+    key = (~key + (key << 21)) & mask
+    key = key ^ (key >> 24)
+    key = (key + (key << 3) + (key << 8)) & mask
+    key = key ^ (key >> 14)
+    key = (key + (key << 2) + (key << 4)) & mask
+    key = key ^ (key >> 28)
+    key = (key + (key << 31)) & mask
+    return key
+
+
+def _make_build_kernel(k: int, L: int):
+    """Stream-entry build for the packed sketch: rolling canonical k-mer
+    (log-doubling composition), hash64, ambiguity run length — one VMEM
+    pass over the code tile.  Semantic reference: the XLA block in
+    ops.sketch._sketch_impl_packed (equality tested in tests/test_sketch)."""
+    mask = (1 << (2 * k)) - 1
+
+    def kernel(c_ref, len_ref, h_ref, p_ref, inc_ref):
+        c = c_ref[:]                          # [R, L] i32 codes (>=4 amb)
+        lens = len_ref[:, :1]
+        R = c.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        inlen = col < lens
+        valid = (c < jnp.int32(4)) & inlen
+        amb = (c >= jnp.int32(4)) & inlen
+
+        cb = pltpu.bitcast(c & jnp.int32(3), jnp.uint32)
+        # log-doubling k-mer composition: f_{m+n}[t] = f_m[t-n] << 2n | f_n[t]
+        # (forward) and r_{m+n}[t] = r_n[t] << 2m | r_m[t-n] (revcomp)
+        fpow, rpow = [cb], [cb ^ jnp.uint32(3)]
+        j = 1
+        while j < k:
+            f, r = fpow[-1], rpow[-1]
+            fpow.append((_roll_right(f, j, 0) << jnp.uint32(2 * j)) | f)
+            rpow.append((r << jnp.uint32(2 * j)) | _roll_right(r, j, 0))
+            j *= 2
+        fwd = rev = None
+        m = 0
+        for jbit, (f, r) in enumerate(zip(fpow, rpow)):
+            n = 1 << jbit
+            if not (k & n):
+                continue
+            if fwd is None:
+                fwd, rev = f, r
+            else:
+                fwd = (_roll_right(fwd, n, 0) << jnp.uint32(2 * n)) | f
+                rev = (r << jnp.uint32(2 * m)) | _roll_right(rev, n, 0)
+            m += n
+        fwd = fwd & jnp.uint32(mask)
+        rev = rev & jnp.uint32(mask)
+
+        sym = (fwd == rev) & valid
+        # unsigned compare/min in the order-preserving signed domain
+        fi = pltpu.bitcast(fwd ^ jnp.uint32(0x80000000), jnp.int32)
+        ri = pltpu.bitcast(rev ^ jnp.uint32(0x80000000), jnp.int32)
+        strand = jnp.where(fi < ri, jnp.uint32(0), jnp.uint32(1))
+        canon = pltpu.bitcast(jnp.minimum(fi, ri),
+                              jnp.uint32) ^ jnp.uint32(0x80000000)
+        hsh = _hash64_u32(canon, jnp.uint32(mask))
+
+        vns = valid & jnp.logical_not(sym)
+        cv = vns.astype(jnp.int32)
+        s = 1
+        while s < L:
+            cv = cv + _roll_right(cv, s, 0)
+            s *= 2
+        aa = jnp.where(amb, cv, jnp.int32(0))
+        s = 1
+        while s < L:
+            aa = jnp.maximum(aa, _roll_right(aa, s, 0))
+            s *= 2
+        defined = vns & ((cv - aa) >= jnp.int32(k))
+
+        h_ref[:] = jnp.where(defined, hsh, jnp.uint32(0xFFFFFFFF))
+        p_ref[:] = ((pltpu.bitcast(col, jnp.uint32) << jnp.uint32(2))
+                    | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
+        inc_ref[:] = (vns | amb).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rows", "interpret"))
+def build_stream(codes: jnp.ndarray, lengths: jnp.ndarray, *, k: int,
+                 rows: int = 8, interpret: bool = False):
+    """Fused stream-entry build: [B, L] int32 codes -> (H, P, inc) planes.
+    Returns H uint32, P uint32, inc int32 (the keep mask for the first
+    compaction)."""
+    B, L = codes.shape
+    assert B % rows == 0 and L % 128 == 0 and 0 < k <= 16
+    lb = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
+    zero = np.int32(0)
+    blk = pl.BlockSpec((rows, L), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_build_kernel(k, L),
+        grid=(B // rows,),
+        in_specs=[blk, cblk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((B, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, L), jnp.int32)],
+        interpret=interpret,
+    )(codes.astype(jnp.int32), lb)
+
+
 def _make_emit_kernel(w: int, k: int, L: int):
     INF32 = 0xFFFFFFFF
 

@@ -246,40 +246,49 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
     mask = jnp.uint32((1 << (2 * k)) - 1)
     INF32 = jnp.uint32(0xFFFFFFFF)
     pos = jnp.arange(L)[None, :]
+    use_pallas = (jax.default_backend() != "cpu" and B % 8 == 0
+                  and L % 128 == 0 and 0 < w < L)
 
-    c = codes.astype(jnp.int32)
-    inlen = pos < lengths[:, None]
-    valid = (c < 4) & inlen
-    amb = (c >= 4) & inlen
+    if use_pallas:
+        # fused Pallas stream build (ops.compact_pallas.build_stream); the
+        # XLA block below is the semantic reference
+        from .compact_pallas import build_stream
+        H, Pl, inc_i = build_stream(codes, lengths, k=k)
+        inc = inc_i != 0
+    else:
+        c = codes.astype(jnp.int32)
+        inlen = pos < lengths[:, None]
+        valid = (c < 4) & inlen
+        amb = (c >= 4) & inlen
 
-    # rolling k-mers in uint32 (hash is at most 32 bits for k <= 16)
-    cb = (c & 3).astype(jnp.uint32)
-    cbr = cb ^ jnp.uint32(3)
-    fwd = jnp.zeros((B, L), jnp.uint32)
-    rev = jnp.zeros((B, L), jnp.uint32)
-    for d in range(k):
-        cd = _shift_right(cb, d, jnp.uint32(0))
-        cdr = _shift_right(cbr, d, jnp.uint32(0))
-        fwd = fwd | (cd << jnp.uint32(2 * d))
-        rev = rev | (cdr << jnp.uint32(2 * (k - 1 - d)))
-    fwd = fwd & mask
+        # rolling k-mers in uint32 (hash is at most 32 bits for k <= 16)
+        cb = (c & 3).astype(jnp.uint32)
+        cbr = cb ^ jnp.uint32(3)
+        fwd = jnp.zeros((B, L), jnp.uint32)
+        rev = jnp.zeros((B, L), jnp.uint32)
+        for d in range(k):
+            cd = _shift_right(cb, d, jnp.uint32(0))
+            cdr = _shift_right(cbr, d, jnp.uint32(0))
+            fwd = fwd | (cd << jnp.uint32(2 * d))
+            rev = rev | (cdr << jnp.uint32(2 * (k - 1 - d)))
+        fwd = fwd & mask
 
-    sym = (fwd == rev) & valid
-    strand = jnp.where(fwd < rev, jnp.uint32(0), jnp.uint32(1))
-    hsh = hash64(jnp.minimum(fwd, rev), mask)
+        sym = (fwd == rev) & valid
+        strand = jnp.where(fwd < rev, jnp.uint32(0), jnp.uint32(1))
+        hsh = hash64(jnp.minimum(fwd, rev), mask)
 
-    vns = valid & ~sym
-    cvns = jnp.cumsum(vns, axis=1).astype(jnp.int32)
-    at_amb = jax.lax.cummax(jnp.where(amb, cvns, 0), axis=1)
-    l = cvns - at_amb
-    defined = vns & (l >= k)
+        vns = valid & ~sym
+        cvns = jnp.cumsum(vns, axis=1).astype(jnp.int32)
+        at_amb = jax.lax.cummax(jnp.where(amb, cvns, 0), axis=1)
+        l = cvns - at_amb
+        defined = vns & (l >= k)
 
-    # warmup and ambiguous entries carry hash 0xFFFFFFFF (the reference
-    # ring buffer holds UINT64_MAX for those slots, src/mm_sketch.c:118-127)
-    H = jnp.where(defined, hsh, INF32)
-    Pl = ((pos.astype(jnp.uint32) << jnp.uint32(2))
-          | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
-    inc = vns | amb
+        # warmup and ambiguous entries carry hash 0xFFFFFFFF (the reference
+        # ring buffer holds UINT64_MAX there, src/mm_sketch.c:118-127)
+        H = jnp.where(defined, hsh, INF32)
+        Pl = ((pos.astype(jnp.uint32) << jnp.uint32(2))
+              | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
+        inc = vns | amb
     (sH, sPl), n = _compact(inc, [H, Pl],
                             fills=[0xFFFFFFFF, 0xFFFFFFFF],
                             usually_dense=True)

@@ -228,3 +228,57 @@ def test_emit_mask_pallas_interpret_matches_xla(rng):
     has_final = (fmin != jnp.uint32(0xFFFFFFFF)) & (t_f >= 0)
     emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
     np.testing.assert_array_equal(got, np.asarray(emit))
+
+
+def test_build_stream_pallas_interpret_matches_xla(rng):
+    """The fused Pallas stream build equals the XLA reference block
+    (rolling canonical k-mers, hash, ambiguity run length)."""
+    import jax
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.compact_pallas import build_stream
+    from peregrine_tpu.ops.sketch import hash64, _shift_right
+
+    B, L = 8, 512
+    for k in (11, 12, 16):
+        codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+        codes[rng.random((B, L)) < 0.02] = 4          # ambiguous
+        lengths = rng.integers(1, L + 1, B).astype(np.int32)
+        lengths[0] = L
+
+        H, Pl, inc = build_stream(jnp.asarray(codes), jnp.asarray(lengths),
+                                  k=k, interpret=True)
+
+        # XLA reference (mirrors ops.sketch._sketch_impl_packed)
+        mask = jnp.uint32((1 << (2 * k)) - 1)
+        pos = jnp.arange(L)[None, :]
+        c = jnp.asarray(codes).astype(jnp.int32)
+        inlen = pos < jnp.asarray(lengths)[:, None]
+        valid = (c < 4) & inlen
+        amb = (c >= 4) & inlen
+        cb = (c & 3).astype(jnp.uint32)
+        cbr = cb ^ jnp.uint32(3)
+        fwd = jnp.zeros((B, L), jnp.uint32)
+        rev = jnp.zeros((B, L), jnp.uint32)
+        for d in range(k):
+            fwd = fwd | (_shift_right(cb, d, jnp.uint32(0)) << jnp.uint32(2 * d))
+            rev = rev | (_shift_right(cbr, d, jnp.uint32(0))
+                         << jnp.uint32(2 * (k - 1 - d)))
+        fwd = fwd & mask
+        sym = (fwd == rev) & valid
+        strand = jnp.where(fwd < rev, jnp.uint32(0), jnp.uint32(1))
+        hsh = hash64(jnp.minimum(fwd, rev), mask)
+        vns = valid & ~sym
+        cvns = jnp.cumsum(vns, axis=1).astype(jnp.int32)
+        at_amb = jax.lax.cummax(jnp.where(amb, cvns, 0), axis=1)
+        defined = vns & ((cvns - at_amb) >= k)
+        H_ref = jnp.where(defined, hsh, jnp.uint32(0xFFFFFFFF))
+        P_ref = ((pos.astype(jnp.uint32) << jnp.uint32(2))
+                 | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
+        inc_ref = vns | amb
+
+        np.testing.assert_array_equal(np.asarray(H), np.asarray(H_ref),
+                                      err_msg=f"H k={k}")
+        np.testing.assert_array_equal(np.asarray(Pl), np.asarray(P_ref),
+                                      err_msg=f"P k={k}")
+        np.testing.assert_array_equal(np.asarray(inc) != 0, np.asarray(inc_ref),
+                                      err_msg=f"inc k={k}")
