@@ -85,6 +85,53 @@ def _make_kernel(n_planes: int, fills: tuple, K: int):
     return kernel
 
 
+def _make_move_kernel(K: int):
+    """Move passes of the log-shift compaction with the shift-distance
+    plane r precomputed by the producer kernel (build_stream / emit_mask
+    compute the prefix sums anyway, so per-plane calls skip them: half
+    the per-call roll work).  No hole fills — positions >= count keep
+    stale values; every consumer masks by count."""
+    def kernel(r_ref, p_ref, o_ref):
+        r = r_ref[:]
+        p = p_ref[:]
+        R, L = r.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        for k in range(K):
+            bit = 1 << k
+            r_s = _roll_left(r, bit, 0)
+            take = (r_s & jnp.int32(bit)) != jnp.int32(0)
+            p = jnp.where(take, _roll_left(p, bit, 0), p)
+            # vacated positions clear r (a stale shift distance would
+            # re-move the leftover copy in a later pass)
+            stay = (r & jnp.int32(bit)) == jnp.int32(0)
+            r = jnp.where(take, r_s, jnp.where(stay, r, jnp.int32(0)))
+        o_ref[:] = p
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def move_plane(r: jnp.ndarray, plane: jnp.ndarray,
+               rows: int = 8, interpret: bool = False):
+    """Compact one uint32 plane given precomputed shift distances r
+    (int32: drops before each kept entry; 0 at dropped positions).
+    Tail positions (>= count) hold stale values."""
+    B, L = r.shape
+    assert B % rows == 0 and L % 128 == 0
+    K = max(1, (L - 1).bit_length())
+    zero = np.int32(0)
+    blk = pl.BlockSpec((rows, L), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_move_kernel(K),
+        grid=(B // rows,),
+        in_specs=[blk, blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, L), plane.dtype),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(r, plane)
+
+
 def _hash64_u32(key, mask):
     """hash64 with static int shift amounts (Mosaic-friendly); same
     algebra as ops.sketch.hash64 on uint32."""
@@ -105,7 +152,7 @@ def _make_build_kernel(k: int, L: int):
     ops.sketch._sketch_impl_packed (equality tested in tests/test_sketch)."""
     mask = (1 << (2 * k)) - 1
 
-    def kernel(c_ref, len_ref, h_ref, p_ref, inc_ref):
+    def kernel(c_ref, len_ref, h_ref, p_ref, r_ref, cnt_ref):
         c = c_ref[:]                          # [R, L] i32 codes (>=4 amb)
         lens = len_ref[:, :1]
         R = c.shape[0]
@@ -164,7 +211,17 @@ def _make_build_kernel(k: int, L: int):
         h_ref[:] = jnp.where(defined, hsh, jnp.uint32(0xFFFFFFFF))
         p_ref[:] = ((pltpu.bitcast(col, jnp.uint32) << jnp.uint32(2))
                     | (strand << jnp.uint32(1)) | amb.astype(jnp.uint32))
-        inc_ref[:] = (vns | amb).astype(jnp.int32)
+        # shift distances for the stream compaction (move_plane input):
+        # r = drops before each kept entry, 0 at dropped positions
+        inc = (vns | amb).astype(jnp.int32)
+        ci = inc
+        s = 1
+        while s < L:
+            ci = ci + _roll_right(ci, s, 0)
+            s *= 2
+        cnt_ref[:] = ci[:, L - 128:]
+        r_ref[:] = jnp.where(inc == jnp.int32(1), col - ci + jnp.int32(1),
+                             jnp.int32(0))
 
     return kernel
 
@@ -172,9 +229,9 @@ def _make_build_kernel(k: int, L: int):
 @functools.partial(jax.jit, static_argnames=("k", "rows", "interpret"))
 def build_stream(codes: jnp.ndarray, lengths: jnp.ndarray, *, k: int,
                  rows: int = 8, interpret: bool = False):
-    """Fused stream-entry build: [B, L] int32 codes -> (H, P, inc) planes.
-    Returns H uint32, P uint32, inc int32 (the keep mask for the first
-    compaction)."""
+    """Fused stream-entry build: [B, L] int32 codes -> (H, P, r, n).
+    H/P uint32 planes, r int32 shift distances for move_plane, n int32 [B]
+    stream entry counts."""
     B, L = codes.shape
     assert B % rows == 0 and L % 128 == 0 and 0 < k <= 16
     lb = jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (B, 128))
@@ -183,22 +240,24 @@ def build_stream(codes: jnp.ndarray, lengths: jnp.ndarray, *, k: int,
                        memory_space=pltpu.VMEM)
     cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _make_build_kernel(k, L),
         grid=(B // rows,),
         in_specs=[blk, cblk],
-        out_specs=[blk, blk, blk],
+        out_specs=[blk, blk, blk, cblk],
         out_shape=[jax.ShapeDtypeStruct((B, L), jnp.uint32),
                    jax.ShapeDtypeStruct((B, L), jnp.uint32),
-                   jax.ShapeDtypeStruct((B, L), jnp.int32)],
+                   jax.ShapeDtypeStruct((B, L), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 128), jnp.int32)],
         interpret=interpret,
     )(codes.astype(jnp.int32), lb)
+    return outs[0], outs[1], outs[2], outs[3][:, -1]
 
 
 def _make_emit_kernel(w: int, k: int, L: int):
     INF32 = 0xFFFFFFFF
 
-    def kernel(h_ref, p_ref, n_ref, emit_ref):
+    def kernel(h_ref, p_ref, n_ref, r_ref, cnt_ref):
         sH = h_ref[:]                       # [R, L] u32 hashes (INF = hole)
         sPl = p_ref[:]                      # [R, L] u32 pos|strand|amb
         n = n_ref[:, :1]                    # [R, 1] i32 row counts
@@ -252,8 +311,19 @@ def _make_emit_kernel(w: int, k: int, L: int):
         t_f = jnp.max(jnp.where((xmi == fmin) & in_final, col, jnp.int32(-1)),
                       axis=1, keepdims=True)
         has_final = (fmin != IMAX) & (t_f >= jnp.int32(0))
-        emit = emit | ((col == t_f) & has_final)
-        emit_ref[:] = emit.astype(jnp.int32)
+        # in_n guard: tail positions hold STALE values (move_plane does
+        # not fill holes), so emissions must be masked to the stream
+        emit = (emit | ((col == t_f) & has_final)) & in_n
+
+        # shift distances for the output compaction
+        ei = emit.astype(jnp.int32)
+        ci = ei
+        s = 1
+        while s < L:
+            ci = ci + _roll_right(ci, s, 0)
+            s *= 2
+        cnt_ref[:] = ci[:, L - 128:]
+        r_ref[:] = jnp.where(emit, col - ci + jnp.int32(1), jnp.int32(0))
 
     return kernel
 
@@ -262,12 +332,13 @@ def _make_emit_kernel(w: int, k: int, L: int):
                    static_argnames=("w", "k", "rows", "interpret"))
 def emit_mask(sH: jnp.ndarray, sPl: jnp.ndarray, n: jnp.ndarray,
               *, w: int, k: int, rows: int = 8, interpret: bool = False):
-    """Fused window-minimum emission mask for the packed sketch
-    (the XLA block in ops.sketch._sketch_impl_packed is the semantic
-    reference; equality is tested in tests/test_sketch.py).
+    """Fused window-minimum emission for the packed sketch (the XLA block
+    in ops.sketch._sketch_impl_packed is the semantic reference; equality
+    is tested in tests/test_sketch.py).
 
     sH/sPl: [B, L] compacted stream planes; n: [B] int32 counts.
-    Returns [B, L] int32 (0/1).
+    Returns (r [B, L] int32 shift distances for move_plane,
+             count [B] int32 emitted entries per row).
     """
     B, L = sH.shape
     assert B % rows == 0 and L % 128 == 0 and 0 < w < L
@@ -277,14 +348,16 @@ def emit_mask(sH: jnp.ndarray, sPl: jnp.ndarray, n: jnp.ndarray,
                        memory_space=pltpu.VMEM)
     cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _make_emit_kernel(w, k, L),
         grid=(B // rows,),
         in_specs=[blk, blk, cblk],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+        out_specs=[blk, cblk],
+        out_shape=[jax.ShapeDtypeStruct((B, L), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 128), jnp.int32)],
         interpret=interpret,
     )(sH, sPl, nb)
+    return outs[0], outs[1][:, -1]
 
 
 @functools.partial(jax.jit,

@@ -250,11 +250,29 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
                   and L % 128 == 0 and 0 < w < L)
 
     if use_pallas:
-        # fused Pallas stream build (ops.compact_pallas.build_stream); the
-        # XLA block below is the semantic reference
-        from .compact_pallas import build_stream
-        H, Pl, inc_i = build_stream(codes, lengths, k=k)
-        inc = inc_i != 0
+        # fused Pallas path (ops.compact_pallas; the XLA blocks below are
+        # the semantic reference): build -> move x2 -> emit -> move x2.
+        # move_plane leaves STALE values past the counts; every consumer
+        # masks by count.
+        from .compact_pallas import build_stream, emit_mask, move_plane
+        H, Pl, r1, n = build_stream(codes, lengths, k=k)
+        sH = move_plane(r1, H)
+        sPl = move_plane(r1, Pl)
+        r2, count = emit_mask(sH, sPl, n, w=w, k=k)
+        oH = move_plane(r2, sH)
+        oPl = move_plane(r2, sPl)
+        scol = jnp.arange(L)[None, :]
+        out_valid = scol < count[:, None]
+        ox = jnp.where(out_valid,
+                       (oH.astype(jnp.uint64) << jnp.uint64(8))
+                       | jnp.uint64(k), INF)
+        oy = jnp.where(
+            out_valid,
+            (rids[:, None].astype(jnp.uint64) << jnp.uint64(32))
+            | ((oPl.astype(jnp.uint64) >> jnp.uint64(2)) << jnp.uint64(1))
+            | ((oPl.astype(jnp.uint64) >> jnp.uint64(1)) & jnp.uint64(1)),
+            INF)
+        return ox, oy, count
     else:
         c = codes.astype(jnp.int32)
         inlen = pos < lengths[:, None]
@@ -294,35 +312,27 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
                             usually_dense=True)
 
     scol = jnp.arange(L)[None, :]
-    if jax.default_backend() != "cpu" and B % 8 == 0 and L % 128 == 0 \
-            and 0 < w < L:
-        # fused Pallas emission mask (ops.compact_pallas.emit_mask); the
-        # XLA block below is the semantic reference (equality tested in
-        # tests/test_sketch.py)
-        from .compact_pallas import emit_mask
-        emit = emit_mask(sH, sPl, n, w=w, k=k) != 0
-    else:
-        in_n = scol < n[:, None]
-        samb = ((sPl & jnp.uint32(1)) != 0) & in_n
-        # every stream entry is svns or an amb placeholder, so the svns
-        # count since the last reset is just the column distance to the
-        # last amb (one prefix-max instead of a prefix-sum + prefix-max)
-        last_amb = jax.lax.cummax(jnp.where(samb, scol, -1), axis=1)
-        sl = (scol - last_amb).astype(jnp.int32)
+    in_n = scol < n[:, None]
+    samb = ((sPl & jnp.uint32(1)) != 0) & in_n
+    # every stream entry is svns or an amb placeholder, so the svns
+    # count since the last reset is just the column distance to the
+    # last amb (one prefix-max instead of a prefix-sum + prefix-max)
+    last_amb = jax.lax.cummax(jnp.where(samb, scol, -1), axis=1)
+    sl = (scol - last_amb).astype(jnp.int32)
 
-        W = _sliding_min_trailing(sH, w, INF32)
-        complete = sl >= (w + k - 1)
-        Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
-        M = _sliding_max_leading(Ap, w, jnp.uint32(0))
-        emit = (sH != INF32) & (M == sH)
+    W = _sliding_min_trailing(sH, w, INF32)
+    complete = sl >= (w + k - 1)
+    Ap = jnp.where(complete & in_n, W, jnp.uint32(0))
+    M = _sliding_max_leading(Ap, w, jnp.uint32(0))
+    emit = (sH != INF32) & (M == sH)
 
-        in_final = (scol >= (n[:, None] - w)) & in_n
-        xm = jnp.where(in_final, sH, INF32)
-        fmin = jnp.min(xm, axis=1)
-        t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1),
-                      axis=1)
-        has_final = (fmin != INF32) & (t_f >= 0)
-        emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
+    in_final = (scol >= (n[:, None] - w)) & in_n
+    xm = jnp.where(in_final, sH, INF32)
+    fmin = jnp.min(xm, axis=1)
+    t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1),
+                  axis=1)
+    has_final = (fmin != INF32) & (t_f >= 0)
+    emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
 
     (oH, oPl), count = _compact(emit, [sH, sPl],
                                 fills=[0xFFFFFFFF, 0xFFFFFFFF])

@@ -207,8 +207,8 @@ def test_emit_mask_pallas_interpret_matches_xla(rng):
     sH = np.where(hole, INF32, sH)
     sPl = np.where(hole, INF32, sPl)
 
-    got = np.asarray(emit_mask(jnp.asarray(sH), jnp.asarray(sPl),
-                               jnp.asarray(n), w=w, k=k, interpret=True)) != 0
+    r2, cnt = emit_mask(jnp.asarray(sH), jnp.asarray(sPl),
+                        jnp.asarray(n), w=w, k=k, interpret=True)
 
     # XLA reference block (mirrors ops.sketch._sketch_impl_packed)
     scol = jnp.arange(L)[None, :]
@@ -227,7 +227,12 @@ def test_emit_mask_pallas_interpret_matches_xla(rng):
     t_f = jnp.max(jnp.where((xm == fmin[:, None]) & in_final, scol, -1), axis=1)
     has_final = (fmin != jnp.uint32(0xFFFFFFFF)) & (t_f >= 0)
     emit = emit | ((scol == t_f[:, None]) & has_final[:, None])
-    np.testing.assert_array_equal(got, np.asarray(emit))
+    emit = np.asarray(emit)
+    col = np.arange(L)[None, :]
+    cvk = np.cumsum(emit, axis=1)
+    r_ref = np.where(emit, col - cvk + 1, 0)
+    np.testing.assert_array_equal(np.asarray(r2), r_ref)
+    np.testing.assert_array_equal(np.asarray(cnt), emit.sum(axis=1))
 
 
 def test_build_stream_pallas_interpret_matches_xla(rng):
@@ -245,8 +250,8 @@ def test_build_stream_pallas_interpret_matches_xla(rng):
         lengths = rng.integers(1, L + 1, B).astype(np.int32)
         lengths[0] = L
 
-        H, Pl, inc = build_stream(jnp.asarray(codes), jnp.asarray(lengths),
-                                  k=k, interpret=True)
+        H, Pl, r1, n = build_stream(jnp.asarray(codes), jnp.asarray(lengths),
+                                    k=k, interpret=True)
 
         # XLA reference (mirrors ops.sketch._sketch_impl_packed)
         mask = jnp.uint32((1 << (2 * k)) - 1)
@@ -280,5 +285,35 @@ def test_build_stream_pallas_interpret_matches_xla(rng):
                                       err_msg=f"H k={k}")
         np.testing.assert_array_equal(np.asarray(Pl), np.asarray(P_ref),
                                       err_msg=f"P k={k}")
-        np.testing.assert_array_equal(np.asarray(inc) != 0, np.asarray(inc_ref),
-                                      err_msg=f"inc k={k}")
+        inc_np = np.asarray(inc_ref)
+        col = np.arange(L)[None, :]
+        cvk = np.cumsum(inc_np, axis=1)
+        r_ref = np.where(inc_np, col - cvk + 1, 0)
+        np.testing.assert_array_equal(np.asarray(r1), r_ref,
+                                      err_msg=f"r k={k}")
+        np.testing.assert_array_equal(np.asarray(n), inc_np.sum(axis=1),
+                                      err_msg=f"n k={k}")
+
+
+def test_move_plane_interpret_matches_shift(rng):
+    """move_plane with producer-computed shift distances equals the XLA
+    shift compaction within the count (tails are stale by contract)."""
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.compact_pallas import move_plane
+    from peregrine_tpu.ops.sketch import _shift_compact
+
+    B, L = 8, 512
+    for p in (0.97, 0.03, 1.0):
+        keep = rng.random((B, L)) < p
+        vals = rng.integers(0, 2**32, (B, L)).astype(np.uint32)
+        col = np.arange(L)[None, :]
+        cvk = np.cumsum(keep, axis=1)
+        r = np.where(keep, col - cvk + 1, 0).astype(np.int32)
+        got = np.asarray(move_plane(jnp.asarray(r), jnp.asarray(vals),
+                                    interpret=True))
+        (ref,), cnt = _shift_compact(jnp.asarray(keep), [jnp.asarray(vals)],
+                                     fills=[jnp.uint32(0)])
+        cnt = np.asarray(cnt)
+        for b in range(B):
+            np.testing.assert_array_equal(got[b, :cnt[b]],
+                                          np.asarray(ref)[b, :cnt[b]])
