@@ -398,3 +398,78 @@ def compact_planes(keep: jnp.ndarray, planes: tuple, fills: tuple,
         interpret=interpret,
     )(keep, *planes)
     return tuple(outs[:n]), outs[n][:, -1]
+
+
+def _make_reduce_kernel(r: int, L: int):
+    """One hierarchical-reduction level on the stream planes: the window
+    winner at column j minimizes (hash, ring slot) over the r trailing
+    entries — identical ordering to the reference composite key
+    (x & ~0xFF) | slot, since x = hash<<8|span with constant span for
+    k <= 16 (ops.reduce.reduce_impl is the semantic reference).  Emits
+    winners deduplicated against the previous column and computes the
+    compaction shift distances for move_plane."""
+    def kernel(h_ref, p_ref, n_ref, ho_ref, po_ref, r_ref, cnt_ref):
+        H = h_ref[:]
+        P = p_ref[:]
+        n = n_ref[:, :1]
+        R = H.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+
+        # signed-domain hash for unsigned ordering; ring slot = col % r
+        Hi = pltpu.bitcast(H ^ jnp.uint32(0x80000000), jnp.int32)
+        q = col // jnp.int32(r)
+        slot = col - q * jnp.int32(r)
+
+        best_h, best_s, best_p = Hi, slot, P
+        for d in range(1, r):
+            hd = _roll_right(Hi, d, 0x7FFFFFFF)
+            sd = _roll_right(slot, d, 0x7FFFFFFF)
+            pd = _roll_right(P, d, 0)
+            win = (hd < best_h) | ((hd == best_h) & (sd < best_s))
+            best_h = jnp.where(win, hd, best_h)
+            best_s = jnp.where(win, sd, best_s)
+            best_p = jnp.where(win, pd, best_p)
+
+        valid = (col >= jnp.int32(r - 1)) & (col < n)
+        prev_p = _roll_right(best_p, 1, 0)
+        prev_valid = (col >= jnp.int32(r)) & (col < n + jnp.int32(1))
+        emit = valid & ((best_p != prev_p) | jnp.logical_not(prev_valid))
+
+        ho_ref[:] = pltpu.bitcast(best_h, jnp.uint32) ^ jnp.uint32(0x80000000)
+        po_ref[:] = best_p
+        ei = emit.astype(jnp.int32)
+        ci = ei
+        s = 1
+        while s < L:
+            ci = ci + _roll_right(ci, s, 0)
+            s *= 2
+        cnt_ref[:] = ci[:, L - 128:]
+        r_ref[:] = jnp.where(emit, col - ci + jnp.int32(1), jnp.int32(0))
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("r", "rows", "interpret"))
+def reduce_step(H: jnp.ndarray, P: jnp.ndarray, n: jnp.ndarray, *, r: int,
+                rows: int = 8, interpret: bool = False):
+    """One reduction level on (H, P, n); returns (H', P', shift, count) —
+    apply move_plane(shift, .) to H' and P' to compact the winners."""
+    B, L = H.shape
+    assert B % rows == 0 and L % 128 == 0 and 1 < r < 256
+    nb = jnp.broadcast_to(n.astype(jnp.int32)[:, None], (B, 128))
+    zero = np.int32(0)
+    blk = pl.BlockSpec((rows, L), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((rows, 128), lambda i: (i, zero),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_reduce_kernel(r, L),
+        grid=(B // rows,),
+        in_specs=[blk, blk, cblk],
+        out_specs=[blk, blk, blk, cblk],
+        out_shape=[jax.ShapeDtypeStruct((B, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, L), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 128), jnp.int32)],
+        interpret=interpret,
+    )(H, P, nb)
+    return outs[0], outs[1], outs[2], outs[3][:, -1]

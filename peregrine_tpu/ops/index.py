@@ -54,8 +54,33 @@ def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
     returned, so overflow is detectable and the batch can be re-run with
     cap=0).
 
+    On TPU the whole step runs on the packed (H, P) uint32 stream planes
+    (Pallas kernels in ops.compact_pallas; the uint64 path below is the
+    CPU/semantic reference) — records are assembled only at the end.
+
     Returns (x, y, count) of the final level plus the L0 count.
     """
+    B, L = codes.shape
+    if (jax.default_backend() != "cpu" and B % 8 == 0 and L % 128 == 0
+            and 0 < w < L and k <= 16):
+        from .compact_pallas import move_plane, reduce_step
+        from .sketch import assemble_records, sketch_planes_tpu
+        H, P, c0 = sketch_planes_tpu(codes, lengths, w=w, k=k)
+        if cap and cap < H.shape[1]:
+            H, P = H[:, :cap], P[:, :cap]
+        c = jnp.minimum(c0, H.shape[1])
+        for _ in range(levels):
+            H2, P2, rs, c = reduce_step(H, P, c, r=r)
+            H = move_plane(rs, H2)
+            P = move_plane(rs, P2)
+        if levels > 0 and cap and tight_out:
+            shrink = max(1, int((r / 2) ** levels))
+            out_cap = max(64, cap // shrink)
+            if out_cap < H.shape[1]:
+                H, P = H[:, :out_cap], P[:, :out_cap]
+        x, y = assemble_records(H, P, c, rids, k)
+        return x, y, c, c0
+
     x, y, c0 = sketch_impl(codes, lengths, rids, w=w, k=k)
     if cap and cap < x.shape[1]:
         x, y = x[:, :cap], y[:, :cap]

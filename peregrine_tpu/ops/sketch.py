@@ -235,6 +235,40 @@ def sketch_impl(codes: jnp.ndarray, lengths: jnp.ndarray, rids: jnp.ndarray,
     return _sketch_impl_wide(codes, lengths, rids, w=w, k=k)
 
 
+def sketch_planes_tpu(codes: jnp.ndarray, lengths: jnp.ndarray,
+                      *, w: int, k: int):
+    """Fused Pallas sketch returning the (H, P) stream planes + counts
+    (ops.compact_pallas; the XLA blocks in _sketch_impl_packed are the
+    semantic reference): build -> move x2 -> emit -> move x2.  move_plane
+    leaves STALE values past the counts; every consumer masks by count.
+    Preconditions: TPU backend, B % 8 == 0, L % 128 == 0, k <= 16."""
+    from .compact_pallas import build_stream, emit_mask, move_plane
+    H, Pl, r1, n = build_stream(codes, lengths, k=k)
+    sH = move_plane(r1, H)
+    sPl = move_plane(r1, Pl)
+    r2, count = emit_mask(sH, sPl, n, w=w, k=k)
+    return move_plane(r2, sH), move_plane(r2, sPl), count
+
+
+def assemble_records(oH: jnp.ndarray, oPl: jnp.ndarray, count: jnp.ndarray,
+                     rids: jnp.ndarray, k: int):
+    """(H, P) planes -> reference-encoded uint64 (x, y) records
+    (src/mm_sketch.c:62-68), INF past the counts."""
+    L = oH.shape[1]
+    scol = jnp.arange(L)[None, :]
+    out_valid = scol < count[:, None]
+    ox = jnp.where(out_valid,
+                   (oH.astype(jnp.uint64) << jnp.uint64(8)) | jnp.uint64(k),
+                   INF)
+    oy = jnp.where(
+        out_valid,
+        (rids[:, None].astype(jnp.uint64) << jnp.uint64(32))
+        | ((oPl.astype(jnp.uint64) >> jnp.uint64(2)) << jnp.uint64(1))
+        | ((oPl.astype(jnp.uint64) >> jnp.uint64(1)) & jnp.uint64(1)),
+        INF)
+    return ox, oy
+
+
 def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
                         rids: jnp.ndarray, *, w: int, k: int):
     """k <= 16 fast path: the whole stream rides in TWO uint32 planes —
@@ -250,28 +284,8 @@ def _sketch_impl_packed(codes: jnp.ndarray, lengths: jnp.ndarray,
                   and L % 128 == 0 and 0 < w < L)
 
     if use_pallas:
-        # fused Pallas path (ops.compact_pallas; the XLA blocks below are
-        # the semantic reference): build -> move x2 -> emit -> move x2.
-        # move_plane leaves STALE values past the counts; every consumer
-        # masks by count.
-        from .compact_pallas import build_stream, emit_mask, move_plane
-        H, Pl, r1, n = build_stream(codes, lengths, k=k)
-        sH = move_plane(r1, H)
-        sPl = move_plane(r1, Pl)
-        r2, count = emit_mask(sH, sPl, n, w=w, k=k)
-        oH = move_plane(r2, sH)
-        oPl = move_plane(r2, sPl)
-        scol = jnp.arange(L)[None, :]
-        out_valid = scol < count[:, None]
-        ox = jnp.where(out_valid,
-                       (oH.astype(jnp.uint64) << jnp.uint64(8))
-                       | jnp.uint64(k), INF)
-        oy = jnp.where(
-            out_valid,
-            (rids[:, None].astype(jnp.uint64) << jnp.uint64(32))
-            | ((oPl.astype(jnp.uint64) >> jnp.uint64(2)) << jnp.uint64(1))
-            | ((oPl.astype(jnp.uint64) >> jnp.uint64(1)) & jnp.uint64(1)),
-            INF)
+        oH, oPl, count = sketch_planes_tpu(codes, lengths, w=w, k=k)
+        ox, oy = assemble_records(oH, oPl, count, rids, k)
         return ox, oy, count
     else:
         c = codes.astype(jnp.int32)
