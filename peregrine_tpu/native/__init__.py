@@ -17,7 +17,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "consensus.cpp"),
         os.path.join(_DIR, "overlap_replay.cpp"),
-        os.path.join(_DIR, "spec_enum.cpp")]
+        os.path.join(_DIR, "spec_enum.cpp"),
+        os.path.join(_DIR, "pack2.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -178,6 +179,26 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
     return raw, int(n_out.value), int(n_miss.value)
+
+
+_lib.pack_db_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p]
+
+
+def pack_db(data: np.ndarray, guard_bases: int) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass packing of 4-bit codec bytes into the device planes
+    (pack2.cpp); returns (fw 2-bit codes 4/byte, amb flags 8/byte) with
+    `guard_bases` zero bases prepended."""
+    assert guard_bases % 8 == 0
+    data = np.ascontiguousarray(data, np.uint8)
+    n = guard_bases + len(data)
+    fw = np.zeros(-(-n // 4), np.uint8)
+    amb = np.zeros(-(-n // 8), np.uint8)
+    _lib.pack_db_c(data.ctypes.data_as(ctypes.c_void_p), len(data),
+                   guard_bases, fw.ctypes.data_as(ctypes.c_void_p),
+                   amb.ctypes.data_as(ctypes.c_void_p))
+    return fw, amb
 
 
 SPEC_REQ_DTYPE = np.dtype([

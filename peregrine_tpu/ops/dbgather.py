@@ -34,14 +34,6 @@ import numpy as np
 # L <= GUARD_BASES stays in bounds.  Multiple of 1024 (one amb row).
 GUARD_BASES = 1 << 16
 
-_CODE_TABLE = np.zeros(16, np.uint8)   # nibble -> 2-bit code (amb -> 0)
-for _nib, _code in ((1, 0), (2, 1), (4, 2), (8, 3)):
-    _CODE_TABLE[_nib] = _code
-_AMB_TABLE = np.ones(16, bool)
-for _nib in (1, 2, 4, 8):
-    _AMB_TABLE[_nib] = False
-
-
 class PackedSeqDB(NamedTuple):
     """Two-plane packed seqdb (device arrays; a valid jit argument)."""
     fw: jnp.ndarray    # [Rf, 128] u8 — 2-bit codes, 4 bases/byte
@@ -51,23 +43,12 @@ class PackedSeqDB(NamedTuple):
 def pack_db_np(data: np.ndarray, guard_bases: int = GUARD_BASES
                ) -> tuple[np.ndarray, np.ndarray]:
     """Host packing: 4-bit codec bytes -> (fw bytes, amb bytes) with the
-    guard region prepended.  Returns flat byte arrays (not row-shaped)."""
+    guard region prepended.  Returns flat byte arrays (not row-shaped).
+    One C++ pass (native/pack2.cpp) — the numpy formulation allocated
+    several full-size temporaries and cost ~7 s per 140 MB on this host."""
     assert guard_bases % 1024 == 0
-    nib = (data & 0x0F).astype(np.uint8)
-    code = _CODE_TABLE[nib]
-    amb = _AMB_TABLE[nib]
-    n = len(data) + guard_bases
-    n4 = -(-n // 4) * 4
-    codes_p = np.zeros(n4, np.uint8)
-    codes_p[guard_bases:guard_bases + len(data)] = code
-    c4 = codes_p.reshape(-1, 4)
-    fw = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4)
-          | (c4[:, 3] << 6)).astype(np.uint8)
-    n8 = -(-n // 8) * 8
-    amb_p = np.zeros(n8, bool)
-    amb_p[guard_bases:guard_bases + len(data)] = amb
-    ambb = np.packbits(amb_p, bitorder="little")
-    return fw, ambb
+    from ..native import pack_db
+    return pack_db(data, guard_bases)
 
 
 def _pad_rows(flat: np.ndarray, floor_rows: int) -> np.ndarray:

@@ -10,10 +10,12 @@ parallel reformulation over a padded batch of reads [B, L]:
    base, so raw-position k-mers equal the reference's gap-skipping rolling
    registers wherever they are defined),
 2. the minimizer stream (valid, non-strand-symmetric positions plus
-   ambiguous-base placeholders) compacted with one stable multi-operand
-   sort (TPU scatters serialize; sorts vectorize),
-3. window minima via the block prefix/suffix-min trick (two lax.cummin)
-   combined by static shifts (no gathers),
+   ambiguous-base placeholders) stably compacted WITHOUT sorts or
+   scatters: log-shift bit passes over the per-entry shift distances
+   (_shift_compact here; Pallas VMEM kernels in ops.compact_pallas on
+   TPU — sorts measured 5x everything else combined, scatters serialize),
+3. window minima via sliding prefix/suffix extrema combined by static
+   shifts (no gathers),
 4. the emission set derived declaratively:  an entry e is emitted iff it is
    a minimum of some *complete* window (window-end run length
    l >= w+k-1), or it is the held minimum of the final window.
