@@ -171,12 +171,12 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     l0xs: dict[int, np.ndarray] = {}
     l0ys: dict[int, np.ndarray] = {}
 
-    def _drain(part, handles, pad):
+    def _drain(part, handles, pad, fetched=False):
         if keep_l0:
             xl, yl, cl, x0, y0, c0 = jax.device_get(handles)
         else:
             cap = max(256, pad // 8)
-            xl, yl, cl, c0 = jax.device_get(handles)
+            xl, yl, cl, c0 = handles if fetched else jax.device_get(handles)
             if (c0 > cap).any() or (cl > xl.shape[1]).any():
                 codes, lens = db.padded_code_batch(part, pad)
                 xl, yl, cl, c0 = jax.device_get(index_step(
@@ -209,14 +209,12 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
         lengths = lengths[~long_sel]
 
     # dispatch asynchronously against the device-resident seqdb: per batch
-    # only offset/length/rid triplets cross the host link, and several
-    # batches stay in flight so host packing, device compute, and result
-    # pulls overlap (the remote-device round trip otherwise serializes)
-    from collections import deque
-
+    # only offset/length/rid triplets cross the host link; ALL batches are
+    # dispatched before any result is read, and the results come back in
+    # ONE bulk device_get — per-batch gets each pay a full remote-tunnel
+    # round trip (~0.3 s x dozens of batches dominated the stage wall)
     from .dbgather import upload_seqdb
-    inflight: deque = deque()
-    MAX_INFLIGHT = 8
+    inflight: list = []
     seqdb_rows = None
     if len(rids_all) and not keep_l0:
         seqdb_rows = upload_seqdb(db.data)
@@ -252,10 +250,13 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                     jnp.asarray(rr), L=pad, w=cfg.w, k=cfg.k, r=cfg.r,
                     levels=cfg.levels, cap=cap)
             inflight.append((part, handles, pad))
-            if len(inflight) > MAX_INFLIGHT:
-                _drain(*inflight.popleft())
-    while inflight:
-        _drain(*inflight.popleft())
+    if keep_l0:
+        for item in inflight:
+            _drain(*item)
+    elif inflight:
+        fetched = jax.device_get([h for _, h, _ in inflight])
+        for (part, _, pad), vals in zip(inflight, fetched):
+            _drain(part, vals, pad, fetched=True)
 
     order = sorted(xs)
     x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)

@@ -96,7 +96,10 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None),
-                   P(axis)))
+                   P(axis)),
+        # index_step's TPU path issues pallas_calls, whose outputs carry
+        # no varying-mesh-axes annotation; the VMA checker rejects them
+        check_vma=False)
     return fn(codes, lengths, rids)
 
 
