@@ -283,43 +283,57 @@ class GraphResult:
     sg_edge_lines: list[str] = field(default_factory=list)
 
 
-def generate_string_graph(overlap_lines, min_len: int = 4000,
+def generate_string_graph(overlap_lines=None, min_len: int = 4000,
                           min_idt: float = 96.0, lfc: bool = False,
-                          disable_chimer_bridge_removal: bool = False) -> GraphResult:
+                          disable_chimer_bridge_removal: bool = False,
+                          ovl_bytes: bytes | None = None) -> GraphResult:
     """Overlaps -> classified string graph (reference ovlp_to_graph.py:658-908).
 
     overlap_lines: iterable of preads.ovl rows (13 columns,
     src/shmr_dedup.c:93-99); a leading '-' line terminates input.
+    ovl_bytes: alternatively, the raw file bytes — parsed by the C++
+    fast path (native/parse_ovl.cpp; per-line Python parsing dominated
+    the layout wall at scale).  The Python loop below is the semantic
+    reference; equality is asserted in tests/test_graph.py.
     """
     contained: set[str] = set()
     overlap_data = []
-    for line in overlap_lines:
-        if line.startswith("-"):
-            break
-        f = line.split()
-        f_id, g_id = f[0], f[1]
-        if f_id == g_id:
-            continue
-        typ = f[12]
-        if typ == "contained":
-            contained.add(f_id)
-            continue
-        if typ == "contains":
-            contained.add(g_id)
-            continue
-        if typ == "none":
-            continue
-        score = int(f[2])
-        identity = float(f[3])
-        if identity < min_idt:
-            continue
-        f_strand, f_start, f_end, f_len = (int(c) for c in f[4:8])
-        g_strand, g_start, g_end, g_len = (int(c) for c in f[8:12])
-        if f_len < min_len or g_len < min_len:
-            continue
-        overlap_data.append((f_id, g_id, score, identity,
-                             f_strand, f_start, f_end, f_len,
-                             g_strand, g_start, g_end, g_len))
+    if ovl_bytes is not None:
+        from ..native import parse_ovl
+        rows, cont = parse_ovl(ovl_bytes, min_len, float(min_idt))
+        contained = {"%09d" % r for r in cont.tolist()}
+        overlap_data = [
+            ("%09d" % t[0], "%09d" % t[1], t[2], t[3],
+             0, t[4], t[5], t[6], t[7], t[8], t[9], t[10])
+            for t in rows.tolist()]
+    else:
+        for line in overlap_lines:
+            if line.startswith("-"):
+                break
+            f = line.split()
+            f_id, g_id = f[0], f[1]
+            if f_id == g_id:
+                continue
+            typ = f[12]
+            if typ == "contained":
+                contained.add(f_id)
+                continue
+            if typ == "contains":
+                contained.add(g_id)
+                continue
+            if typ == "none":
+                continue
+            score = int(f[2])
+            identity = float(f[3])
+            if identity < min_idt:
+                continue
+            f_strand, f_start, f_end, f_len = (int(c) for c in f[4:8])
+            g_strand, g_start, g_end, g_len = (int(c) for c in f[8:12])
+            if f_len < min_len or g_len < min_len:
+                continue
+            overlap_data.append((f_id, g_id, score, identity,
+                                 f_strand, f_start, f_end, f_len,
+                                 g_strand, g_start, g_end, g_len))
 
     sg = StringGraph()
     seen_pairs: set[tuple[str, str]] = set()

@@ -18,7 +18,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "consensus.cpp"),
         os.path.join(_DIR, "overlap_replay.cpp"),
         os.path.join(_DIR, "spec_enum.cpp"),
-        os.path.join(_DIR, "pack2.cpp")]
+        os.path.join(_DIR, "pack2.cpp"),
+        os.path.join(_DIR, "parse_ovl.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -199,6 +200,44 @@ def pack_db(data: np.ndarray, guard_bases: int) -> tuple[np.ndarray, np.ndarray]
                    guard_bases, fw.ctypes.data_as(ctypes.c_void_p),
                    amb.ctypes.data_as(ctypes.c_void_p))
     return fw, amb
+
+
+OVL_ROW_DTYPE = np.dtype([
+    ("f_id", "<i4"), ("g_id", "<i4"), ("score", "<i4"), ("idt", "<f4"),
+    ("f_b", "<i4"), ("f_e", "<i4"), ("f_l", "<i4"),
+    ("g_s", "<i4"), ("g_b", "<i4"), ("g_e", "<i4"), ("g_l", "<i4"),
+])
+
+_lib.parse_ovl_c.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+    ctypes.POINTER(ctypes.c_void_p), _i64p,
+    ctypes.POINTER(ctypes.c_void_p), _i64p]
+_lib.free_ovl_rows_c.argtypes = [ctypes.POINTER(ctypes.c_void_p),
+                                 ctypes.POINTER(ctypes.c_void_p)]
+
+
+def parse_ovl(buf: bytes, min_len: int, min_idt: float):
+    """Parse preads.ovl text (parse_ovl.cpp; semantics of the Python loop
+    in graph.string_graph.generate_string_graph).  Returns
+    (rows OVL_ROW_DTYPE array, contained rid int32 array)."""
+    rows = ctypes.c_void_p()
+    n_rows = ctypes.c_int64()
+    cont = ctypes.c_void_p()
+    n_cont = ctypes.c_int64()
+    _lib.parse_ovl_c(buf, len(buf), min_len, min_idt,
+                     ctypes.byref(rows), ctypes.byref(n_rows),
+                     ctypes.byref(cont), ctypes.byref(n_cont))
+    try:
+        raw = ctypes.string_at(rows.value, n_rows.value * OVL_ROW_DTYPE.itemsize) \
+            if rows.value and n_rows.value else b""
+        craw = ctypes.string_at(cont.value, n_cont.value * 4) \
+            if cont.value and n_cont.value else b""
+    finally:
+        _lib.free_ovl_rows_c(ctypes.byref(rows), ctypes.byref(cont))
+    return (np.frombuffer(raw, OVL_ROW_DTYPE).copy() if raw
+            else np.zeros(0, OVL_ROW_DTYPE),
+            np.frombuffer(craw, np.int32).copy() if craw
+            else np.zeros(0, np.int32))
 
 
 SPEC_REQ_DTYPE = np.dtype([

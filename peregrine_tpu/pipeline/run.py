@@ -133,10 +133,11 @@ class Assembly:
         if _stage_done(fa):
             return fa
         t0 = time.time()
-        with open(os.path.join(self.outdir, "2-ovlp", "preads.ovl")) as f:
+        with open(os.path.join(self.outdir, "2-ovlp", "preads.ovl"),
+                  "rb") as f:
             result = generate_string_graph(
-                f, min_len=self.cfg.min_len, min_idt=self.cfg.min_idt,
-                lfc=self.cfg.lfc,
+                ovl_bytes=f.read(), min_len=self.cfg.min_len,
+                min_idt=self.cfg.min_idt, lfc=self.cfg.lfc,
                 disable_chimer_bridge_removal=self.cfg.disable_chimer_bridge_removal)
         _write_lines(os.path.join(asm, "sg_edges_list"), result.sg_edge_lines)
         _write_lines(os.path.join(asm, "chimers_nodes"), result.chimer_nodes)

@@ -160,3 +160,26 @@ def test_layout_deterministic(rng):
         u_edge_data, ctg_rows, utg_rows, compound_rows = assemble_graph(res)
         outs.append((res.sg_edge_lines, ctg_rows, utg_rows, compound_rows))
     assert outs[0] == outs[1]
+
+
+def test_native_ovl_parse_matches_python(tmp_path):
+    """The C++ preads.ovl fast path produces an identical string graph
+    (sg_edges_list byte-for-byte) to the Python parse loop."""
+    lines = _chain_overlaps()
+    # exercise filters: a contained pair, a self pair, a low-identity row,
+    # a short read, a 'none' row, and the '-' terminator
+    lines = lines + [
+        "000000900 000000901 -5000 99.9 0 0 9000 9000 0 100 9100 12000 contained",
+        "000000902 000000902 -5000 99.9 0 0 9000 9000 0 100 9100 12000 overlap",
+        "000000903 000000904 -5000 90.0 0 0 9000 9000 0 100 9100 12000 overlap",
+        "000000905 000000906 -5000 99.9 0 0 3000 3000 0 100 3100 12000 overlap",
+        "000000907 000000908 -5000 99.9 0 0 9000 9000 0 100 9100 12000 none",
+        "-",
+        "000000909 000000910 -5000 99.9 0 0 9000 9000 0 100 9100 12000 overlap",
+    ]
+    res_py = generate_string_graph(list(lines), min_len=4000, min_idt=96)
+    blob = ("\n".join(lines) + "\n").encode()
+    res_cc = generate_string_graph(ovl_bytes=blob, min_len=4000, min_idt=96)
+    assert res_py.sg_edge_lines == res_cc.sg_edge_lines
+    assert res_py.chimer_nodes == res_cc.chimer_nodes
+    assert sorted(res_py.edge_data) == sorted(res_cc.edge_data)
