@@ -36,28 +36,70 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def _spread_right(r, operands, fills, out_len: int):
+    """Move element i rightward to position i + r[i] (r int32,
+    non-decreasing over kept elements; dropped elements carry r = 0 and a
+    fill value).  Mirror of the log-shift compaction (ops.sketch
+    _shift_compact) — but bits run MSB->LSB: rightward, positions after
+    processing bits >= 2^k are i + (r_i - r_i mod 2^k), strictly
+    increasing for non-decreasing r (LSB-first collides at the large r
+    jumps between shard runs).  Unwritten holes become the fills."""
+    n_in = r.shape[0]
+    pad = out_len - n_in
+    if pad > 0:
+        r = jnp.pad(r, (0, pad))
+        operands = [jnp.pad(a, (0, pad), constant_values=f)
+                    for a, f in zip(operands, fills)]
+    outs = list(operands)
+    for k in reversed(range(max(1, (out_len - 1).bit_length()))):
+        bit = jnp.int32(1 << k)
+        r_s = jnp.pad(r[:-(1 << k)], (1 << k, 0))           # r[p - 2^k]
+        take = (r_s & bit) != 0
+        stay = (r & bit) == 0
+        outs = [jnp.where(take,
+                          jnp.pad(a[:-(1 << k)], (1 << k, 0),
+                                  constant_values=f),
+                          jnp.where(stay, a, jnp.asarray(f, a.dtype)))
+                for a, f in zip(outs, fills)]
+        r = jnp.where(take, r_s, jnp.where(stay, r, jnp.int32(0)))
+    return outs
+
+
 def _route_local(x, y, count, n_shards: int, cap: int):
-    """Pack local records into [n_shards, cap] send buffers by hash shard."""
+    """Pack local records into [n_shards, cap] send buffers by hash shard.
+
+    Sort by target shard, then spread each shard's run to its fixed
+    cap-aligned offset with log-shift passes — a scatter formulation
+    (.at[dest].set) serializes on TPU and measured ~57 s for 2M records.
+    """
     B, C = x.shape
     xf = x.reshape(-1)
     yf = y.reshape(-1)
+    total = B * C
     valid = (jnp.arange(C)[None, :] < count[:, None]).reshape(-1)
     tgt = jnp.where(valid, (xf >> jnp.uint64(8)) % jnp.uint64(n_shards),
                     jnp.uint64(n_shards)).astype(jnp.int32)
 
-    order = jnp.argsort(tgt, stable=True)
-    st = tgt[order]
-    sx = xf[order]
-    sy = yf[order]
-    sent = jnp.sum(jax.nn.one_hot(st, n_shards + 1, dtype=jnp.int32), axis=0)[:n_shards]
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(sent)[:-1].astype(jnp.int32)])
-    slot = jnp.arange(len(st)) - jnp.take(offsets, jnp.minimum(st, n_shards - 1))
-    dest = jnp.where((st < n_shards) & (slot < cap), st * cap + slot,
-                     n_shards * cap)
-    send_x = jnp.full((n_shards * cap + 1,), INF).at[dest].set(sx)[:-1]
-    send_y = jnp.full((n_shards * cap + 1,), INF).at[dest].set(sy)[:-1]
-    return (send_x.reshape(n_shards, cap), send_y.reshape(n_shards, cap), sent)
+    st, sx, sy = jax.lax.sort((tgt, xf, yf), dimension=0, is_stable=True,
+                              num_keys=1)
+    sent = jnp.sum(jax.nn.one_hot(st, n_shards + 1, dtype=jnp.int32),
+                   axis=0)[:n_shards]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(sent)[:-1].astype(jnp.int32)])
+    idx = jnp.arange(total, dtype=jnp.int32)
+    slot = idx - jnp.take(starts, jnp.minimum(st, n_shards - 1))
+    keep = (st < n_shards) & (slot < cap)
+    dest = st * cap + slot
+    # r can only go negative when an earlier shard overflowed cap — the
+    # run is invalid then (caller re-checks `sent`); clamp so the spread
+    # stays well-formed
+    r = jnp.maximum(jnp.where(keep, dest - idx, 0), 0)
+    sxk = jnp.where(keep, sx, INF)
+    syk = jnp.where(keep, sy, INF)
+    send_x, send_y = _spread_right(r, [sxk, syk], [INF, INF],
+                                   n_shards * cap)
+    return (send_x.reshape(n_shards, cap), send_y.reshape(n_shards, cap),
+            sent)
 
 
 def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
