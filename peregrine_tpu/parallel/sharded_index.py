@@ -114,7 +114,17 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
     shape [n*cap*n? ...] sharded on dim 0), local record validity counts,
     and per-source sent counts for overflow detection.
     """
-    n = mesh.devices.size
+    fn = _build_sharded_index(mesh, axis, mesh.devices.size, w, k, r,
+                              levels, cap_per_pair)
+    return fn(codes, lengths, rids)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_index(mesh: Mesh, axis: str, n: int, w: int, k: int,
+                         r: int, levels: int, cap_per_pair: int):
+    """jit-wrapped shard_map program, cached per (mesh, params) — building
+    it per call re-lowered the whole program every invocation (~minutes
+    through the remote compile tunnel)."""
 
     def local(codes, lengths, rids):
         sketch_cap = max(256, codes.shape[1] // 8)
@@ -134,15 +144,14 @@ def sharded_index(mesh: Mesh, codes, lengths, rids, *, w: int, k: int,
         return (rx[None, :], ry[None, :], nvalid[None], sent[None, :],
                 overflow[None])
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None),
                    P(axis)),
         # index_step's TPU path issues pallas_calls, whose outputs carry
         # no varying-mesh-axes annotation; the VMA checker rejects them
-        check_vma=False)
-    return fn(codes, lengths, rids)
+        check_vma=False))
 
 
 def sharded_index_host(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray,

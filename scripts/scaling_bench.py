@@ -73,8 +73,10 @@ def main():
         mesh = make_mesh(n)
         import jax.numpy as jnp
         cj, lj, rj = jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(rids)
+        # per-(src,dst) capacity: ~B*L/8 records spread over n^2 pairs
+        cap = max(4096, (args.reads_per_dev * L // 6) // n)
         dt = timeit(lambda: sharded_index(mesh, cj, lj, rj, w=80, k=16, r=6,
-                                          levels=2, cap_per_pair=4096))
+                                          levels=2, cap_per_pair=cap))
         results.append({"stage": "sharded_index", "n_devices": n,
                         "wall_s": round(dt, 4),
                         "mbases_per_s": round(B * L / dt / 1e6, 1)})
