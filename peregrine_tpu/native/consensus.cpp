@@ -23,10 +23,19 @@
 
 #include <algorithm>
 #include <cctype>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+
+// PG_CNS_PROFILE=1 prints per-phase wall times to stderr.
+static double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 extern "C" {
 
@@ -136,6 +145,8 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
                   const char **read_seqs, const int32_t *read_lens,
                   const int32_t *shifts, int32_t n_reads, int32_t band,
                   int32_t min_cov, CnsResult *out) {
+  const bool prof = getenv("PG_CNS_PROFILE") != nullptr;
+  double t0 = prof ? now_s() : 0.0;
   std::vector<uint64_t> pairs;
   std::vector<int32_t> coverage(ref_len + 2, 0);
   pairs.reserve((size_t)ref_len * 4);
@@ -175,6 +186,8 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
     free_alignment_c(&aln);
   }
 
+  double t_tags = prof ? now_s() : 0.0;
+
   if (aln_base < (int64_t)ref_len * 3) {
     out->seq = (char *)std::malloc(ref_len + 1);
     for (int32_t i = 0; i < ref_len; i++)
@@ -198,9 +211,11 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
   }
   pairs.clear();
   pairs.shrink_to_fit();
+  double t_csort = prof ? now_s() : 0.0;
   for (int32_t p = 0; p < n_pos; p++)
     std::sort(sorted.begin() + bucket_start[p],
               sorted.begin() + bucket_start[p + 1]);
+  double t_bsort = prof ? now_s() : 0.0;
 
   // DP over ctags in ascending key order; nodes are appended in that same
   // order, so per-t_pos node ranges replace the reference's hash lookups.
@@ -294,6 +309,15 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
   out->seq = (char *)std::malloc(cns.size() + 1);
   std::memcpy(out->seq, cns.data(), cns.size());
   out->seq[cns.size()] = 0;
+
+  if (prof) {
+    double t_end = now_s();
+    fprintf(stderr,
+            "[cns prof] pairs=%zu tags+align=%.3f csort=%.3f bsort=%.3f "
+            "dp+bt=%.3f total=%.3f\n",
+            n_pairs, t_tags - t0, t_csort - t_tags, t_bsort - t_csort,
+            t_end - t_bsort, t_end - t0);
+  }
 }
 
 void free_cns_c(CnsResult *r) {

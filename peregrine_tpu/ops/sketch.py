@@ -41,6 +41,8 @@ Encodings (must match src/mm_sketch.c:62-68):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -448,6 +450,18 @@ def _sketch_impl_wide(codes: jnp.ndarray, lengths: jnp.ndarray,
 sketch_batch = jax.jit(sketch_impl, static_argnames=("w", "k"))
 
 
+@functools.partial(jax.jit, static_argnames=("w", "k", "cap"))
+def sketch_batch_capped(codes, lengths, rids, *, w: int, k: int, cap: int):
+    """sketch_impl with outputs sliced to `cap` entries per row before they
+    leave the device.  Minimizer density is ~2/(w+1), so cap = L//8 is >5x
+    headroom at the default w=80; the full count is returned so callers can
+    detect the (pathological) overflow and refetch uncapped.  Cuts the
+    device->host transfer 8x — the remote-tunnel fetch of full [B, L]
+    uint64 planes dominated the long-sequence (contig) sketch wall."""
+    ox, oy, count = sketch_impl(codes, lengths, rids, w=w, k=k)
+    return ox[:, :cap], oy[:, :cap], count
+
+
 def sketch_reads_np(codes: np.ndarray, lengths: np.ndarray, rids: np.ndarray,
                     w: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Host convenience: run sketch_batch and flatten to concatenated
@@ -481,21 +495,28 @@ def sketch_long_np(codes: np.ndarray, rid: int, w: int, k: int,
     import jax.numpy as _jnp
 
     n = len(codes)
+    pad = seg + 2 * margin
+    cap = max(256, pad // 8)  # >5x the expected 2/(w+1) minimizer density
     if n <= seg + 2 * margin:
-        pad = seg + 2 * margin
         batch = np.full((1, pad), 4, np.uint8)
         batch[0, :n] = codes
-        x, y, c = _jax.device_get(sketch_batch(
+        x, y, c = _jax.device_get(sketch_batch_capped(
             _jnp.asarray(batch), _jnp.asarray([n], np.int32),
-            _jnp.asarray([rid], np.uint32), w=w, k=k))
+            _jnp.asarray([rid], np.uint32), w=w, k=k, cap=cap))
+        if c[0] > cap:  # pathological density: refetch uncapped
+            x, y, c = _jax.device_get(sketch_batch(
+                _jnp.asarray(batch), _jnp.asarray([n], np.int32),
+                _jnp.asarray([rid], np.uint32), w=w, k=k))
         return x[0, :c[0]], y[0, :c[0]]
 
     starts = list(range(0, n, seg))
-    pad = seg + 2 * margin
     SB = 64  # fixed batch shape: contig length must not recompile kernels
-    xparts = []
-    yparts = []
-    cparts = []
+    # all batches are dispatched before any result is read (per-batch gets
+    # each pay a remote-tunnel round trip), and only the capped output
+    # prefix crosses the link; a batch whose true count exceeds the cap is
+    # refetched uncapped (never seen in practice)
+    inputs = []
+    handles = []
     for b0 in range(0, len(starts), SB):
         part = starts[b0:b0 + SB]
         batch = np.full((SB, pad), 4, np.uint8)
@@ -505,12 +526,20 @@ def sketch_long_np(codes: np.ndarray, rid: int, w: int, k: int,
             hi = min(n, s + seg + margin)
             batch[i, :hi - lo] = codes[lo:hi]
             lens[i] = hi - lo
-        x, y, c = _jax.device_get(sketch_batch(
-            _jnp.asarray(batch), _jnp.asarray(lens),
-            _jnp.asarray(np.zeros(SB, np.uint32)), w=w, k=k))
-        xparts.append(x[:len(part)])
-        yparts.append(y[:len(part)])
-        cparts.append(c[:len(part)])
+        args = (_jnp.asarray(batch), _jnp.asarray(lens),
+                _jnp.asarray(np.zeros(SB, np.uint32)))
+        inputs.append((args, len(part)))
+        handles.append(sketch_batch_capped(*args, w=w, k=k, cap=cap))
+    fetched = _jax.device_get(handles)
+    xparts = []
+    yparts = []
+    cparts = []
+    for (args, npart), (x, y, c) in zip(inputs, fetched):
+        if (c > cap).any():
+            x, y, c = _jax.device_get(sketch_batch(*args, w=w, k=k))
+        xparts.append(x[:npart])
+        yparts.append(y[:npart])
+        cparts.append(c[:npart])
     x = np.concatenate(xparts)
     y = np.concatenate(yparts)
     c = np.concatenate(cparts)
