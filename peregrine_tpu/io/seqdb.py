@@ -168,7 +168,11 @@ class SeqDB:
                 names.append(parts[1])
                 lens.append(int(parts[2]))
                 offs.append(int(parts[3]))
-        data = np.fromfile(prefix + ".seqdb", dtype=np.uint8)
+        # read-only mmap: the reference's shared data plane (every worker
+        # mmaps the same .seqdb, src/shmr_overlap.c:200) — opening costs
+        # nothing and spawn workers share the page cache instead of each
+        # copying the whole file
+        data = np.memmap(prefix + ".seqdb", dtype=np.uint8, mode="r")
         return cls(data, np.asarray(offs, np.int64), np.asarray(lens, np.int64), names)
 
     def save(self, prefix: str) -> None:

@@ -197,20 +197,44 @@ void window_cns_c(const char *ref_seq, int32_t ref_len,
     return;
   }
 
-  // counting sort by t_pos (key >> 24), then sort each small bucket
+  // counting sort by t_pos (key >> 24), then sort each small bucket.
+  // Two-pass, cache-aware: a direct scatter into per-pos buckets touches
+  // the whole pairs array (tens of MB) randomly; instead pairs are first
+  // partitioned into coarse contiguous t_pos chunks (sequential stream
+  // writes, one open cache line per chunk), then exact-placed within the
+  // cache-resident chunk.
   const size_t n_pairs = pairs.size();
   const int32_t n_pos = ref_len + 2;
+  constexpr int kChunkBits = 12;  // 4096 template positions per chunk
+  const int32_t n_chunks = (n_pos >> kChunkBits) + 1;
   std::vector<uint32_t> bucket_start(n_pos + 1, 0);
   for (size_t k = 0; k < n_pairs; k++) bucket_start[(pairs[k] >> 24) + 1]++;
   for (int32_t p = 0; p < n_pos; p++) bucket_start[p + 1] += bucket_start[p];
   std::vector<uint64_t> sorted(n_pairs);
   {
-    std::vector<uint32_t> cursor(bucket_start.begin(), bucket_start.end() - 1);
+    // chunk regions in `sorted` are the final per-chunk ranges
+    std::vector<uint32_t> ccur(n_chunks);
+    for (int32_t c = 0; c < n_chunks; c++)
+      ccur[c] = bucket_start[std::min(c << kChunkBits, n_pos)];
     for (size_t k = 0; k < n_pairs; k++)
-      sorted[cursor[pairs[k] >> 24]++] = pairs[k];
+      sorted[ccur[pairs[k] >> (24 + kChunkBits)]++] = pairs[k];
+    pairs.clear();
+    pairs.shrink_to_fit();
+    // exact placement inside each chunk via a scratch buffer
+    std::vector<uint64_t> scratch;
+    std::vector<uint32_t> cursor;
+    for (int32_t c = 0; c < n_chunks; c++) {
+      const int32_t p_lo = c << kChunkBits;
+      const int32_t p_hi = std::min((c + 1) << kChunkBits, n_pos);
+      const uint32_t lo = bucket_start[p_lo], hi = bucket_start[p_hi];
+      if (hi == lo) continue;
+      scratch.resize(hi - lo);
+      cursor.assign(bucket_start.begin() + p_lo, bucket_start.begin() + p_hi);
+      for (uint32_t k = lo; k < hi; k++)
+        scratch[cursor[(sorted[k] >> 24) - p_lo]++ - lo] = sorted[k];
+      std::memcpy(&sorted[lo], scratch.data(), (hi - lo) * sizeof(uint64_t));
+    }
   }
-  pairs.clear();
-  pairs.shrink_to_fit();
   double t_csort = prof ? now_s() : 0.0;
   for (int32_t p = 0; p < n_pos; p++)
     std::sort(sorted.begin() + bucket_start[p],
