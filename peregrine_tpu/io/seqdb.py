@@ -134,17 +134,19 @@ class SeqDB:
     # ----- construction -------------------------------------------------
     @classmethod
     def from_reads(cls, reads: Iterable[tuple[str, bytes]]) -> "SeqDB":
-        names, offs, lens, bufs = [], [], [], []
-        off = 0
-        for name, seq in reads:
-            enc = encode_biseq(seq)
-            names.append(name)
-            offs.append(off)
-            lens.append(len(seq))
-            bufs.append(enc)
-            off += len(seq)
-        data = np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8)
-        return cls(data, np.asarray(offs, np.int64), np.asarray(lens, np.int64), names)
+        if not isinstance(reads, (list, tuple)):
+            reads = list(reads)
+        names = [name for name, _ in reads]
+        lens = np.array([len(seq) for _, seq in reads], np.int64)
+        offs = np.zeros(len(reads), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        # single preallocation + native one-pass per-read encode
+        # (encode.cpp) — no per-read temporaries, no final concatenate
+        from ..native import encode_biseq_into
+        data = np.empty(int(lens.sum()), dtype=np.uint8)
+        for (name, seq), off, ln in zip(reads, offs, lens):
+            encode_biseq_into(seq, data[off:off + ln])
+        return cls(data, offs, lens, names)
 
     @classmethod
     def from_file_list(cls, list_path: str) -> "SeqDB":

@@ -19,7 +19,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "overlap_replay.cpp"),
         os.path.join(_DIR, "spec_enum.cpp"),
         os.path.join(_DIR, "pack2.cpp"),
-        os.path.join(_DIR, "parse_ovl.cpp")]
+        os.path.join(_DIR, "parse_ovl.cpp"),
+        os.path.join(_DIR, "encode.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -185,6 +186,22 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
 _lib.pack_db_c.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_void_p]
+
+
+_lib.encode_biseq_c.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_void_p]
+
+
+def encode_biseq_into(seq: bytes | np.ndarray, out: np.ndarray) -> None:
+    """Encode one ASCII read into a preallocated 4-bit codec slice
+    (encode.cpp; semantics of io/seqdb.encode_biseq)."""
+    if isinstance(seq, np.ndarray):
+        src = np.ascontiguousarray(seq, np.uint8)
+        _lib.encode_biseq_c(src.ctypes.data_as(ctypes.c_char_p), len(src),
+                            out.ctypes.data_as(ctypes.c_void_p))
+    else:
+        _lib.encode_biseq_c(seq, len(seq),
+                            out.ctypes.data_as(ctypes.c_void_p))
 
 
 def pack_db(data: np.ndarray, guard_bases: int) -> tuple[np.ndarray, np.ndarray]:
