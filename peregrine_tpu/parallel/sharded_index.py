@@ -89,15 +89,30 @@ def _route_local(x, y, count, n_shards: int, cap: int):
     idx = jnp.arange(total, dtype=jnp.int32)
     slot = idx - jnp.take(starts, jnp.minimum(st, n_shards - 1))
     keep = (st < n_shards) & (slot < cap)
-    dest = st * cap + slot
-    # r can only go negative when an earlier shard overflowed cap — the
-    # run is invalid then (caller re-checks `sent`); clamp so the spread
-    # stays well-formed
-    r = jnp.maximum(jnp.where(keep, dest - idx, 0), 0)
-    sxk = jnp.where(keep, sx, INF)
-    syk = jnp.where(keep, sy, INF)
-    send_x, send_y = _spread_right(r, [sxk, syk], [INF, INF],
-                                   n_shards * cap)
+    dest = jnp.where(keep, st * cap + slot, 0)
+
+    # kept records are already in ascending-dest order (the sort groups
+    # shards; slot grows within a shard run), but dropped records sit
+    # between them and the local stream may be LONGER than the send
+    # buffer, leaving kept elements past their destination.  Compact the
+    # kept records to the front first (left log-shift), then spread right
+    # — after compaction position p <= dest[p] always holds.
+    from ..ops.sketch import _shift_compact
+    (sxc, syc, dstc), _ = _shift_compact(
+        keep[None, :], [sx[None, :], sy[None, :], dest[None, :]],
+        [INF, INF, 0])
+    out_len = n_shards * cap
+    kept_total = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), out_len)
+    sxc, syc, dstc = (a[0, :out_len] if total >= out_len
+                      else jnp.pad(a[0], (0, out_len - total),
+                                   constant_values=f)
+                      for a, f in ((sxc, INF), (syc, INF), (dstc, 0)))
+    pos = jnp.arange(out_len, dtype=jnp.int32)
+    valid2 = pos < kept_total
+    r = jnp.where(valid2, dstc.astype(jnp.int32) - pos, 0)
+    send_x, send_y = _spread_right(r, [jnp.where(valid2, sxc, INF),
+                                       jnp.where(valid2, syc, INF)],
+                                   [INF, INF], out_len)
     return (send_x.reshape(n_shards, cap), send_y.reshape(n_shards, cap),
             sent)
 

@@ -47,6 +47,29 @@ def test_sharded_index_matches_single_device(rng):
     assert all_pairs == want
 
 
+def test_sharded_index_long_local_stream(rng):
+    """The flattened per-device record stream can be LONGER than the
+    [n_shards, cap] send buffer (kept records then sit past their final
+    slot until compacted); regression for the multihost smoke shape."""
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=8.0)
+    db = SeqDB.from_reads(reads)
+    L = 8192
+    codes, lens = db.padded_code_batch(range(len(db)), L)
+    rids = np.arange(len(db), dtype=np.uint32)
+
+    mesh = make_mesh(8)
+    # per-device flattened stream = 10 * (8192/8) = 10240 > 8 * 512
+    small = sharded_index_host(mesh, codes, lens, rids, w=cfg.w, k=cfg.k,
+                               r=cfg.r, levels=cfg.levels, cap_per_pair=512)
+    big = sharded_index_host(mesh, codes, lens, rids, w=cfg.w, k=cfg.k,
+                             r=cfg.r, levels=cfg.levels, cap_per_pair=4096)
+    for (ax, ay), (bx, by) in zip(small, big):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
+
+
 def test_sharded_overlap_align_matches_single_device(rng):
     """sharded_align over a read-sharded seqdb reproduces the single-device
     myers_batch_db results for random anchored pairs."""
