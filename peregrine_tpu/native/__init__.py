@@ -204,6 +204,22 @@ def encode_biseq_into(seq: bytes | np.ndarray, out: np.ndarray) -> None:
                             out.ctypes.data_as(ctypes.c_void_p))
 
 
+_lib.write_rows_c.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_char_p]
+_lib.write_rows_c.restype = ctypes.c_int64
+
+
+def write_rows(rows: np.ndarray, path: str) -> None:
+    """Write an int64 [n, m] array as space-separated text rows
+    (encode.cpp; the np.savetxt formatting loop cost ~8 s at 3M rows)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    n, m = rows.shape if rows.ndim == 2 else (len(rows), 1)
+    rc = _lib.write_rows_c(rows.ctypes.data_as(ctypes.c_void_p), n, m,
+                           path.encode())
+    if rc != n:
+        raise OSError(f"write_rows failed for {path}")
+
+
 def pack_db(data: np.ndarray, guard_bases: int) -> tuple[np.ndarray, np.ndarray]:
     """One-pass packing of 4-bit codec bytes into the device planes
     (pack2.cpp); returns (fw 2-bit codes 4/byte, amb flags 8/byte) with

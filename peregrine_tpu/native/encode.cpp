@@ -8,6 +8,7 @@
 // host.  Semantics equality is tested in tests/test_seqdb.py.
 
 #include <cstdint>
+#include <cstdio>
 
 extern "C" {
 
@@ -28,6 +29,28 @@ void encode_biseq_c(const uint8_t *seq, int64_t n, uint8_t *out) {
   }
   for (int64_t i = 0; i < n; i++)
     out[i] = (uint8_t)((r4[seq[n - 1 - i]] << 4) | f4[seq[i]]);
+}
+
+// Space-separated integer rows -> file (the mapping stage's
+// reads2ref-format checkpoint, reference src/shmr_map.c:153 printf).
+// np.savetxt formats each cell through Python (~8 s for the 3M-row
+// Drosophila mapping table); this is one buffered pass.
+int64_t write_rows_c(const int64_t *rows, int64_t n, int64_t m,
+                     const char *path) {
+  FILE *f = fopen(path, "wb");
+  if (!f) return -1;
+  char buf[32 * 16];
+  for (int64_t i = 0; i < n; i++) {
+    char *p = buf;
+    for (int64_t j = 0; j < m; j++) {
+      if (j) *p++ = ' ';
+      p += snprintf(p, 24, "%lld", (long long)rows[i * m + j]);
+    }
+    *p++ = '\n';
+    fwrite(buf, 1, (size_t)(p - buf), f);
+  }
+  fclose(f);
+  return n;
 }
 
 }  // extern "C"

@@ -198,7 +198,9 @@ class Assembly:
         ctg_db.save(ctg_prefix)
         ctg_idx = build_index(ctg_db, self.cfg)
         rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg)
-        np.savetxt(os.path.join(cns_dir, "read_map.txt"), rows, fmt="%d")
+        from ..native import write_rows
+        write_rows(rows.reshape(len(rows), -1),
+                   os.path.join(cns_dir, "read_map.txt"))
         log.info("stage 4 mapping: %d rows (%.1fs)", len(rows), time.time() - t0)
 
         if n_workers is None:
