@@ -55,10 +55,17 @@ class StringGraph:
                  identity: float) -> None:
         key = (v, w)
         if key not in self.edges:
-            self.out_edges.setdefault(v, []).append(key)
-            self.in_edges.setdefault(w, []).append(key)
-            self.out_edges.setdefault(w, [])
-            self.in_edges.setdefault(v, [])
+            oe, ie = self.out_edges, self.in_edges
+            if v in oe:
+                oe[v].append(key)
+            else:
+                oe[v] = [key]
+                ie[v] = []
+            if w in ie:
+                ie[w].append(key)
+            else:
+                ie[w] = [key]
+                oe[w] = []
         self.edges[key] = SgEdge(label, length, score, identity)
 
     def init_reduce(self) -> None:
@@ -75,35 +82,42 @@ class StringGraph:
     def mark_tr_edges(self, fuzz: int = 500) -> None:
         mark = {n: 0 for n in self.out_edges}  # 0 vacant / 1 inplay / 2 eliminated
 
+        # every adjacency list is sorted by edge length ONCE up front: the
+        # reference re-sorts neighbour lists inside the nested loops
+        # (ovlp_to_graph.py:231-263), but nothing mutates them during the
+        # pass and timsort is stable, so repeated sorts are idempotent —
+        # the one-time sort sees the identical order (and drops ~1.5M
+        # redundant sorts: ~10 s of the Drosophila-scale layout wall)
+        edges = self.edges
+        for oes in self.out_edges.values():
+            if len(oes) > 1:
+                oes.sort(key=lambda e: edges[e].length)
+
         for v in self.out_edges:
             oes = self.out_edges[v]
             if not oes:
                 continue
-            oes.sort(key=lambda e: self.edges[e].length)
             for e in oes:
                 mark[e[1]] = 1
-            max_len = self.edges[oes[-1]].length + fuzz
+            max_len = edges[oes[-1]].length + fuzz
 
             for e in oes:
-                e_len = self.edges[e].length
+                e_len = edges[e].length
                 w = e[1]
                 if mark[w] == 1:
-                    w_oes = self.out_edges[w]
-                    w_oes.sort(key=lambda e2: self.edges[e2].length)
-                    for e2 in w_oes:
-                        if self.edges[e2].length + e_len < max_len and mark[e2[1]] == 1:
+                    for e2 in self.out_edges[w]:
+                        if edges[e2].length + e_len < max_len and mark[e2[1]] == 1:
                             mark[e2[1]] = 2
 
             for e in oes:
                 w = e[1]
                 w_oes = self.out_edges[w]
-                w_oes.sort(key=lambda e2: self.edges[e2].length)
                 if w_oes:
                     x = w_oes[0][1]
                     if mark[x] == 1:
                         mark[x] = 2
                 for e2 in w_oes:
-                    if self.edges[e2].length < fuzz and mark[e2[1]] == 1:
+                    if edges[e2].length < fuzz and mark[e2[1]] == 1:
                         mark[e2[1]] = 2
 
             for e in oes:
@@ -302,8 +316,13 @@ def generate_string_graph(overlap_lines=None, min_len: int = 4000,
         from ..native import parse_ovl
         rows, cont = parse_ovl(ovl_bytes, min_len, float(min_idt))
         contained = {"%09d" % r for r in cont.tolist()}
+        # one formatted name per distinct rid (4.4M rows re-formatted
+        # ~300k distinct ids at Drosophila scale)
+        import numpy as np
+        uniq = np.unique(np.concatenate([rows["f_id"], rows["g_id"]]))
+        name = {int(r): "%09d" % r for r in uniq.tolist()}
         overlap_data = [
-            ("%09d" % t[0], "%09d" % t[1], t[2], t[3],
+            (name[t[0]], name[t[1]], t[2], t[3],
              0, t[4], t[5], t[6], t[7], t[8], t[9], t[10])
             for t in rows.tolist()]
     else:
