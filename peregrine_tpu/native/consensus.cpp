@@ -67,18 +67,16 @@ namespace {
 // 'N' IS produced by the 4-bit codec (ambiguous nibbles decode to 'N',
 // seqdb.py _BITS2BASE), so it must keep its ASCII rank between G and T
 // for tie order to match the Python semantic port.
-inline uint32_t base_code(uint8_t b) {
-  switch (b) {
-    case '-': return 0;
-    case '.': return 1;
-    case 'A': return 2;
-    case 'C': return 3;
-    case 'G': return 4;
-    case 'N': return 5;
-    case 'T': return 6;
-    default: return 7;
+struct BaseCodeTable {
+  uint8_t t[256];
+  BaseCodeTable() {
+    for (int i = 0; i < 256; i++) t[i] = 7;
+    t['-'] = 0; t['.'] = 1; t['A'] = 2; t['C'] = 3;
+    t['G'] = 4; t['N'] = 5; t['T'] = 6;
   }
-}
+};
+static const BaseCodeTable kBaseCode;
+inline uint32_t base_code(uint8_t b) { return kBaseCode.t[b]; }
 constexpr char kCodeBase[8] = {'-', '.', 'A', 'C', 'G', 'N', 'T', 'N'};
 
 // Packed tag-pair key, low to high bits:

@@ -248,7 +248,7 @@ _worker_dbs: dict[str, SeqDB] = {}
 
 def _window_worker(read_prefix: str, ref_prefix: str, ctg_rid: int,
                    left: int, right: int, reads, cfg_json: str) -> bytes:
-    """Spawn-process worker computing one window (dbs cached per process)."""
+    """Worker computing one window (dbs cached per process/module)."""
     for p in (read_prefix, ref_prefix):
         if p not in _worker_dbs:
             _worker_dbs[p] = SeqDB.open(p)
@@ -274,22 +274,25 @@ def consensus_parallel(read_prefix: str, ref_prefix: str,
                        n_workers: int) -> dict[int, bytes]:
     """Window-parallel consensus over all contigs: windows are independent
     (the reference runs whole contigs per process; windows are the finer
-    grain), stitching is serial per contig."""
-    import concurrent.futures as cf
-    import multiprocessing as mp
+    grain), stitching is serial per contig.
 
+    Workers are THREADS sharing the mmap'd dbs: the window core is one
+    ctypes call into native/consensus.cpp, which releases the GIL for the
+    whole alignment+pileup+DP, so threads scale like processes without
+    the ~2 s/worker spawn+preload tax or per-window pickling."""
+    import concurrent.futures as cf
+
+    read_db = SeqDB.open(read_prefix)
+    ref_db = SeqDB.open(ref_prefix)
     plans = {rid: plan_windows(int(ref_lengths[rid]), rows,
                                cfg.cns_window, cfg.cns_max_template)
              for rid, rows in contig_rows.items()}
     jobs = [(rid, i, spec) for rid, specs in plans.items()
             for i, spec in enumerate(specs)]
     results: dict[tuple[int, int], bytes] = {}
-    cfg_json = cfg.to_json()
-    with cf.ProcessPoolExecutor(
-            max_workers=max(1, n_workers),
-            mp_context=mp.get_context("spawn")) as ex:
-        futs = {ex.submit(_window_worker, read_prefix, ref_prefix, rid,
-                          spec[0], spec[1], spec[2], cfg_json): (rid, i)
+    with cf.ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
+        futs = {ex.submit(window_consensus, read_db, ref_db, rid,
+                          spec[0], spec[1], spec[2], cfg): (rid, i)
                 for rid, i, spec in jobs}
         for f in cf.as_completed(futs):
             results[futs[f]] = f.result()

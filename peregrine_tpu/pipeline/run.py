@@ -204,11 +204,9 @@ class Assembly:
         log.info("stage 4 mapping: %d rows (%.1fs)", len(rows), time.time() - t0)
 
         if n_workers is None:
-            # spawn workers pay a multi-second interpreter+jax startup each
-            # (sitecustomize preloads jax); below ~20 Mb of template the
-            # 16x window core finishes faster in-process
-            n_workers = (1 if int(ctg_db.lengths.sum()) < 20_000_000
-                         else (os.cpu_count() or 1))
+            # consensus workers are GIL-releasing threads (ops.consensus
+            # .consensus_parallel) — no spawn tax, so always parallel
+            n_workers = os.cpu_count() or 1
         contig_rows = {rid: (rows[rows[:, 0] == rid] if len(rows) else rows)
                        for rid in range(len(ctg_db))}
         if n_workers > 1:
