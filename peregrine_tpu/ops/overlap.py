@@ -350,53 +350,39 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
 
 
-def _overlap_chunk_worker(seqdb_prefix: str, mm_paths: list[str],
-                          mc_paths: list[str], cfg_json: str,
-                          chunk: int, total: int) -> np.ndarray:
-    """Spawn-process worker: loads db + index from the stage files (the
-    reference's share-nothing model, pg_run.py:301-347) and processes one
-    hash chunk.  Uses only numpy + the native aligner — no device runtime."""
-    from ..config import AsmConfig as _Cfg
-    db = SeqDB.open(seqdb_prefix)
-    idx = ShimmerIndex.load_chunks(mm_paths, mc_paths)
-    recs, _ = overlap_chunk_native(db, idx, _Cfg.from_json(cfg_json),
-                                   chunk, total)
-    return recs
-
-
 def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 n_chunks: int = 1, n_workers: int = 1,
                 seqdb_prefix: str | None = None,
                 mm_paths: list[str] | None = None,
                 mc_paths: list[str] | None = None) -> np.ndarray:
-    """All overlaps, optionally hash-chunked across worker processes.
+    """All overlaps, optionally hash-chunked across worker threads.
 
-    Each chunk keeps its own rid-pair table (as each reference shmr_overlap
-    process does); cross-chunk duplicates are removed by the text-emission
-    dedup (shmr_dedup semantics in ovlps_to_text).  Parallel execution
-    needs the stage files on disk (seqdb_prefix + index chunk paths) so
-    spawn workers can load their own copies.
+    Each chunk keeps its own rid-pair table (as each reference
+    shmr_overlap process does); cross-chunk duplicates are removed by the
+    text-emission dedup (shmr_dedup semantics in ovlps_to_text).  Chunk
+    workers are THREADS sharing db + idx: the accept loop is one ctypes
+    call (native/overlap_replay.cpp) that releases the GIL, so threads
+    scale like the previous spawn processes without reloading the stage
+    files or pickling the record arrays.  (seqdb_prefix/mm/mc paths are
+    kept for API compatibility; they are no longer needed.)
     """
-    if n_chunks <= 1 or n_workers <= 1 or seqdb_prefix is None:
-        if n_chunks <= 1:
-            return overlap_chunk_native(db, idx, cfg)[0]
+    if n_chunks <= 1:
+        return overlap_chunk_native(db, idx, cfg)[0]
+    if n_workers <= 1:
         parts = [overlap_chunk_native(db, idx, cfg, c + 1, n_chunks)[0]
                  for c in range(n_chunks)]
         parts = [p for p in parts if len(p)]
         return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
 
     import concurrent.futures as cf
-    import multiprocessing as mp
 
-    ctx = mp.get_context("spawn")
     results: list[np.ndarray | None] = [None] * n_chunks
-    with cf.ProcessPoolExecutor(max_workers=max(1, n_workers),
-                                mp_context=ctx) as ex:
-        futs = {ex.submit(_overlap_chunk_worker, seqdb_prefix, mm_paths,
-                          mc_paths, cfg.to_json(), c + 1, n_chunks): c
+    with cf.ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
+        futs = {ex.submit(overlap_chunk_native, db, idx, cfg,
+                          c + 1, n_chunks): c
                 for c in range(n_chunks)}
         for f in cf.as_completed(futs):
-            results[futs[f]] = f.result()
+            results[futs[f]] = f.result()[0]
     parts = [r for r in results if r is not None and len(r)]
     return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
 
