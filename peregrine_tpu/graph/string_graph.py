@@ -297,6 +297,87 @@ class GraphResult:
     sg_edge_lines: list[str] = field(default_factory=list)
 
 
+def _edges_from_rows(rows, cont) -> StringGraph:
+    """Vectorized edge construction from parse_ovl's structured rows.
+
+    Semantics mirror the per-row Python loop in generate_string_graph
+    (the reference's ovlp_to_graph.py:772-841) exactly — including the
+    ordering quirks the graph passes depend on: contained filtering
+    happens before the first-occurrence rid-pair dedup, a geometry-
+    degenerate first occurrence still blocks later duplicates, and edge
+    insertion order is row order with the (e1, e2) dual pair per row.
+    The row loop self-time (~13 s at Drosophila scale) becomes numpy
+    selects plus a minimal insert loop.  Byte-equality of the resulting
+    sg_edges_list is asserted in tests/test_graph.py.
+    """
+    import numpy as np
+
+    sg = StringGraph()
+    if not len(rows):
+        return sg
+    f_id = rows["f_id"].astype(np.int64)
+    g_id = rows["g_id"].astype(np.int64)
+    cs = np.unique(cont).astype(np.int64)
+    ok = ~(np.isin(f_id, cs) | np.isin(g_id, cs))
+    key = np.where(f_id < g_id, (f_id << 32) | g_id, (g_id << 32) | f_id)
+    kidx = np.flatnonzero(ok)
+    _, first = np.unique(key[kidx], return_index=True)
+    keep = np.zeros(len(rows), bool)
+    keep[kidx[first]] = True
+
+    r = rows[keep]
+    f_id, g_id = f_id[keep], g_id[keep]
+    f_b = r["f_b"].astype(np.int64)
+    f_e = r["f_e"].astype(np.int64)
+    f_l = r["f_l"].astype(np.int64)
+    g_l = r["g_l"].astype(np.int64)
+    g_b = np.where(r["g_s"] == 1, r["g_e"], r["g_b"]).astype(np.int64)
+    g_e = np.where(r["g_s"] == 1, r["g_b"], r["g_e"]).astype(np.int64)
+    score = -r["score"].astype(np.int64)
+
+    fwd = f_b > 0
+    co = g_b < g_e
+    cases = [fwd & co, fwd & ~co, ~fwd & co, ~fwd & ~co]
+    skip = np.select(cases, [(f_b == 0) | (g_e == g_l),
+                             (f_b == 0) | (g_e == 0),
+                             (g_b == 0) | (f_e == f_l),
+                             (g_b == g_l) | (f_e == f_l)])
+
+    def sel(opts):
+        return np.select(cases, opts)
+
+    # per-case (v, w, label) of the dual edge pair; the edge LENGTH is
+    # |label_begin - label_end| in every case
+    cols = dict(
+        v1r=sel([g_id, g_id, f_id, f_id]), v1e=sel([0, 1, 0, 0]),
+        w1r=sel([f_id, f_id, g_id, g_id]), w1e=sel([0, 0, 0, 1]),
+        l1r=sel([f_id, f_id, g_id, g_id]),
+        l1s=sel([f_b, f_b, g_b, g_b]), l1t=sel([0, 0, 0, g_l]),
+        v2r=sel([f_id, f_id, g_id, g_id]), v2e=sel([1, 1, 1, 0]),
+        w2r=sel([g_id, g_id, f_id, f_id]), w2e=sel([1, 0, 1, 1]),
+        l2r=sel([g_id, g_id, f_id, f_id]),
+        l2s=sel([g_e, g_e, f_e, f_e]), l2t=sel([g_l, 0, f_l, f_l]),
+    )
+    uniq = np.unique(np.concatenate([f_id, g_id]))
+    nm = {int(x): "%09d" % x for x in uniq.tolist()}
+    ends = ({rid: s + ":B" for rid, s in nm.items()},
+            {rid: s + ":E" for rid, s in nm.items()})
+    c = {k: v.tolist() for k, v in cols.items()}
+    idt = r["idt"].tolist()
+    sc = score.tolist()
+    add = sg.add_edge
+    for i in np.flatnonzero(~skip).tolist():
+        lr1 = c["l1r"][i]
+        s1, t1 = c["l1s"][i], c["l1t"][i]
+        add(ends[c["v1e"][i]][c["v1r"][i]], ends[c["w1e"][i]][c["w1r"][i]],
+            (nm[lr1], s1, t1), abs(s1 - t1), sc[i], idt[i])
+        lr2 = c["l2r"][i]
+        s2, t2 = c["l2s"][i], c["l2t"][i]
+        add(ends[c["v2e"][i]][c["v2r"][i]], ends[c["w2e"][i]][c["w2r"][i]],
+            (nm[lr2], s2, t2), abs(s2 - t2), sc[i], idt[i])
+    return sg
+
+
 def generate_string_graph(overlap_lines=None, min_len: int = 4000,
                           min_idt: float = 96.0, lfc: bool = False,
                           disable_chimer_bridge_removal: bool = False,
@@ -316,15 +397,7 @@ def generate_string_graph(overlap_lines=None, min_len: int = 4000,
         from ..native import parse_ovl
         rows, cont = parse_ovl(ovl_bytes, min_len, float(min_idt))
         contained = {"%09d" % r for r in cont.tolist()}
-        # one formatted name per distinct rid (4.4M rows re-formatted
-        # ~300k distinct ids at Drosophila scale)
-        import numpy as np
-        uniq = np.unique(np.concatenate([rows["f_id"], rows["g_id"]]))
-        name = {int(r): "%09d" % r for r in uniq.tolist()}
-        overlap_data = [
-            (name[t[0]], name[t[1]], t[2], t[3],
-             0, t[4], t[5], t[6], t[7], t[8], t[9], t[10])
-            for t in rows.tolist()]
+        sg = _edges_from_rows(rows, cont)
     else:
         for line in overlap_lines:
             if line.startswith("-"):
@@ -354,7 +427,8 @@ def generate_string_graph(overlap_lines=None, min_len: int = 4000,
                                  f_strand, f_start, f_end, f_len,
                                  g_strand, g_start, g_end, g_len))
 
-    sg = StringGraph()
+    if ovl_bytes is None:
+        sg = StringGraph()
     seen_pairs: set[tuple[str, str]] = set()
     for od in overlap_data:
         f_id, g_id, score, identity = od[:4]
