@@ -40,19 +40,16 @@ OVLP_DTYPE = np.dtype([
 ])
 
 
-def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
-                chunk: int = 1, total_chunk: int = 1,
-                mc_lower: int = 2, mc_upper: int = 240,
-                min_dist: int = 100):
-    """Oriented adjacent-SHIMMER pair records (build_map semantics,
-    src/shmr_utils.c:295-404), vectorized.
-
-    Returns (key0, key1, y0, y1, direction) arrays sorted by (key0, key1).
-    """
+def pair_candidates(idx: ShimmerIndex, mc_lower: int = 2,
+                    mc_upper: int = 240, min_dist: int = 100):
+    """The shard-independent prefix of build_pairs: all adjacent eligible
+    SHIMMER pairs (src/shmr_utils.c:295-340).  Computed once and shared
+    across hash chunks — each chunk only filters, flips, and sorts its
+    shard (re-deriving this per chunk re-scanned the whole index)."""
     x, y = idx.x, idx.y
     if len(x) < 2:
         z = np.zeros(0, np.uint64)
-        return z, z, z, z, np.zeros(0, np.uint8)
+        return z, z, z, z
     counts = idx.counts_for(x >> np.uint64(8))
 
     # the reference scans to the first entry with count in [lower, upper)
@@ -62,7 +59,7 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
     s_candidates = np.flatnonzero(first_ok)
     if len(s_candidates) == 0:
         z = np.zeros(0, np.uint64)
-        return z, z, z, z, np.zeros(0, np.uint8)
+        return z, z, z, z
     s = s_candidates[0]
     keep = elig.copy()
     keep[:s] = False
@@ -76,9 +73,25 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
     dist = ((b1 >> np.uint64(1)) & _U28) - ((b0 >> np.uint64(1)) & _U28)
     far = dist.astype(np.uint32) >= np.uint32(min_dist)
     pair = same_read & far
+    return a0[pair], a1[pair], b0[pair], b1[pair]
 
-    p0x, p1x = a0[pair], a1[pair]
-    p0y, p1y = b0[pair], b1[pair]
+
+def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
+                chunk: int = 1, total_chunk: int = 1,
+                mc_lower: int = 2, mc_upper: int = 240,
+                min_dist: int = 100, cand=None):
+    """Oriented adjacent-SHIMMER pair records (build_map semantics,
+    src/shmr_utils.c:295-404), vectorized.  cand may pass a precomputed
+    pair_candidates result (shared across hash chunks).
+
+    Returns (key0, key1, y0, y1, direction) arrays sorted by (key0, key1).
+    """
+    if cand is None:
+        cand = pair_candidates(idx, mc_lower, mc_upper, min_dist)
+    p0x, p1x, p0y, p1y = cand
+    if len(p0x) == 0:
+        z = np.zeros(0, np.uint64)
+        return z, z, z, z, np.zeros(0, np.uint8)
     tc = np.uint64(total_chunk)
     ck = np.uint64(chunk % total_chunk)
 
@@ -216,19 +229,20 @@ def _spec_enum_np(sys_: np.ndarray, sdirs: np.ndarray, spos: np.ndarray,
 
 def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
-                         pairs=None, cache=None, stream=None):
+                         pairs=None, cache=None, stream=None, cand=None):
     """overlap_chunk semantics with the sequential accept loop in C++
     (native/overlap_replay.cpp); alignments come from the optional
     speculative cache (sorted key arrays) with the native O(ND) kernel as
     miss fallback.  Returns (records, n_cache_misses).  stream may pass a
-    precomputed _bucket_stream to avoid rebuilding it."""
+    precomputed _bucket_stream to avoid rebuilding it; cand a shared
+    pair_candidates result."""
     from ..native import overlap_replay
     assert OVLP_DTYPE.itemsize == 59
     if stream is None:
         key0, key1, y0a, y1a, dira = (pairs if pairs is not None
                                       else build_pairs(
             idx, db.lengths, chunk, total_chunk,
-            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist))
+            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist, cand=cand))
         ys, dirs, pos, bs, be, _ = _bucket_stream(key0, key1, y0a, dira,
                                                   cfg.ovlp_upper)
     else:
@@ -368,8 +382,11 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     """
     if n_chunks <= 1:
         return overlap_chunk_native(db, idx, cfg)[0]
+    cand = pair_candidates(idx, cfg.mc_lower, cfg.mc_upper,
+                           cfg.min_anchor_dist)
     if n_workers <= 1:
-        parts = [overlap_chunk_native(db, idx, cfg, c + 1, n_chunks)[0]
+        parts = [overlap_chunk_native(db, idx, cfg, c + 1, n_chunks,
+                                      cand=cand)[0]
                  for c in range(n_chunks)]
         parts = [p for p in parts if len(p)]
         return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
@@ -379,7 +396,7 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     results: list[np.ndarray | None] = [None] * n_chunks
     with cf.ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
         futs = {ex.submit(overlap_chunk_native, db, idx, cfg,
-                          c + 1, n_chunks): c
+                          c + 1, n_chunks, cand=cand): c
                 for c in range(n_chunks)}
         for f in cf.as_completed(futs):
             results[futs[f]] = f.result()[0]
