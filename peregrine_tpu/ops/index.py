@@ -219,7 +219,11 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     if len(rids_all) and not keep_l0:
         seqdb_rows = upload_seqdb(db.data)
 
-    for pad, sel in _length_buckets(lengths, cfg.sketch_pad_len).items():
+    # bucket unit finer than the max pad: 15 kb HiFi reads at a 32k unit
+    # sketched (and fetched) at 2x their length; a 4x finer unit keeps the
+    # compile-shape set small (multiples of 8k) while batches stay tight
+    bucket_unit = max(2048, cfg.sketch_pad_len // 4)
+    for pad, sel in _length_buckets(lengths, bucket_unit).items():
         batch_rids = rids_all[sel]
         bsz = max(1, min(cfg.sketch_batch, (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
         for i in range(0, len(batch_rids), bsz):
