@@ -53,3 +53,18 @@ def test_map_ref_to_ref_self_hits(rng):
     assert len(self_rows) > 0
     exact = np.sum(self_rows[:, 1] == self_rows[:, 4])
     assert exact == len(self_rows)
+
+
+def test_write_rows_matches_savetxt(tmp_path, rng):
+    """The C++ mapping-row writer (native.write_rows) formats exactly like
+    np.savetxt(fmt='%d') modulo the separator run."""
+    from peregrine_tpu.native import write_rows
+
+    rows = rng.integers(-50, 1 << 40, size=(2000, 9)).astype(np.int64)
+    p1 = tmp_path / "cpp.txt"
+    p2 = tmp_path / "np.txt"
+    write_rows(rows, str(p1))
+    np.savetxt(p2, rows, fmt="%d")
+    a = p1.read_text().splitlines()
+    b = p2.read_text().splitlines()
+    assert [x.split() for x in a] == [y.split() for y in b]
