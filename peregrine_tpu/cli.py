@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     asm.add_argument("--device-aligner", action="store_true",
                      help="run overlap confirmation on the TPU (batched "
                           "banded Myers) instead of host cores")
+    asm.add_argument("--hybrid-overlap", action="store_true",
+                     help="align overlap chunks on the TPU and host cores "
+                          "concurrently (work-stealing chunk queue)")
     asm.add_argument("--shard-overlap", action="store_true",
                      help="shard the seqdb across all devices and route "
                           "alignment requests over ICI (for dbs larger "
@@ -100,6 +103,7 @@ def main(argv=None) -> int:
             min_idt=args.min_idt, lfc=args.lfc,
             disable_chimer_bridge_removal=args.disable_chimer_bridge_removal,
             use_device_aligner=args.device_aligner or args.shard_overlap,
+            hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
         asm_obj.build_db(reads_list=args.reads_lst)

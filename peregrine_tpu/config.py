@@ -53,6 +53,9 @@ class AsmConfig:
     aln_batch: int = 1024           # alignments per device alignment batch
     aln_max_len: int = 1 << 15      # max sequence length per device alignment lane
     use_device_aligner: bool = False  # overlap confirmation on device (Myers batch)
+    hybrid_overlap: bool = False    # TPU thread + host threads pull overlap
+    #                                 chunks from one queue (ops.overlap
+    #                                 .overlap_all_hybrid)
     shard_overlap: bool = False     # shard the seqdb over all devices and
     #                                 route alignment requests via all_to_all
     #                                 (parallel/sharded_overlap.py); for

@@ -404,6 +404,66 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
 
 
+def overlap_all_hybrid(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                       n_chunks: int = 8,
+                       n_host_workers: int | None = None) -> np.ndarray:
+    """Hash chunks pulled from one queue by a TPU thread (speculative
+    device batches, overlap_chunk_device) and host threads (native O(ND)
+    replay, overlap_chunk_native) running concurrently; per-chunk accept
+    semantics are unchanged (each path is the tested per-chunk code) and
+    the packed seqdb is uploaded to HBM once.
+
+    MEASURED CAVEAT (BENCH.md): per-chunk rid-pair dedup — the
+    reference's own share-nothing tradeoff (src/shmr_overlap.c:101-107)
+    — makes total alignment work GROW with chunk count (yeast-scale
+    records: 378k at 1 chunk, 691k at 2, 1.66M at 8), so on a 2-core
+    host the extra chunks this mode needs eat its concurrency gain and
+    plain overlap_all(n_chunks=n_cores) is as fast.  It pays off only
+    when chips meaningfully outnumber host cores.  Off by default."""
+    import concurrent.futures as cf
+    import os as _os
+    import queue
+
+    import jax
+
+    if n_host_workers is None:
+        n_host_workers = _os.cpu_count() or 1
+    cand = pair_candidates(idx, cfg.mc_lower, cfg.mc_upper,
+                           cfg.min_anchor_dist)
+    from .dbgather import upload_seqdb
+    seqdb_dev = upload_seqdb(db.data)
+
+    work: queue.SimpleQueue = queue.SimpleQueue()
+    for c in range(1, n_chunks + 1):
+        work.put(c)
+    results: dict[int, np.ndarray] = {}
+
+    def drain(fn):
+        while True:
+            try:
+                c = work.get_nowait()
+            except queue.Empty:
+                return
+            results[c] = fn(c)
+
+    def dev_chunk(c):
+        return overlap_chunk_device(db, idx, cfg, c, n_chunks,
+                                    batch=cfg.aln_batch, cand=cand,
+                                    seqdb_dev=seqdb_dev)
+
+    def host_chunk(c):
+        return overlap_chunk_native(db, idx, cfg, c, n_chunks,
+                                    cand=cand)[0]
+
+    with cf.ThreadPoolExecutor(max_workers=n_host_workers + 1) as ex:
+        futs = [ex.submit(drain, dev_chunk)]
+        futs += [ex.submit(drain, host_chunk) for _ in range(n_host_workers)]
+        for f in futs:
+            f.result()
+    parts = [results[c] for c in sorted(results) if len(results[c])]
+    return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
+
+
 def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
     """Convert OVLP records to preads.ovl text rows with per-read forward-
     strand coordinates (shmr_dedup semantics, src/shmr_dedup.c:32-101).
@@ -470,7 +530,8 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          chunk: int = 1, total_chunk: int = 1,
                          spec_window: int = 8,
                          spec_per_pair: int = 1,
-                         batch: int = 1024) -> np.ndarray:
+                         batch: int = 1024, cand=None,
+                         seqdb_dev=None) -> np.ndarray:
     """Overlap detection with device-batched alignment.
 
     Speculatively aligns, for every anchor, its next `spec_window`
@@ -485,7 +546,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     _t0 = _time.time()
     key0, key1, y0a, y1a, dira = build_pairs(
         idx, db.lengths, chunk, total_chunk,
-        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist, cand=cand)
     _t_pairs = _time.time() - _t0
 
     lengths = db.lengths
@@ -536,7 +597,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         from ..parallel.sharded_overlap import shard_seqdb, sharded_align
         mesh = make_mesh()
         sdb = shard_seqdb(db.data, db.offsets, db.lengths, mesh)
-    else:
+    elif seqdb_dev is None:
         from .dbgather import upload_seqdb
         seqdb_dev = upload_seqdb(db.data)
 

@@ -101,7 +101,18 @@ class Assembly:
         path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
         if not _stage_done(path):
             t0 = time.time()
-            if self.cfg.use_device_aligner:
+            if self.cfg.hybrid_overlap:
+                import jax
+                from ..ops.overlap import overlap_all_hybrid
+                if jax.default_backend() == "cpu":
+                    log.warning("hybrid overlap requested without an "
+                                "accelerator; using host chunks only")
+                n_workers = n_workers or (os.cpu_count() or 1)
+                ovlps = overlap_all_hybrid(
+                    self.db, self.idx, self.cfg,
+                    n_chunks=n_chunks or 4 * n_workers,
+                    n_host_workers=n_workers)
+            elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
                 if n_chunks or n_workers:
                     log.warning("device aligner runs in-process; "

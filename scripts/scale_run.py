@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--error", type=float, default=0.01)
     ap.add_argument("--wrap-kb", type=int, default=40)
     ap.add_argument("--device-overlap", action="store_true")
+    ap.add_argument("--hybrid-overlap", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -63,7 +64,8 @@ def main():
           f"{time.time()-t0:.0f}s)", flush=True)
 
     cfg = AsmConfig(sketch_pad_len=32768, sketch_batch=256,
-                    use_device_aligner=args.device_overlap)
+                    use_device_aligner=args.device_overlap,
+                    hybrid_overlap=args.hybrid_overlap)
     asm = Assembly(args.outdir, cfg)
     stages = []
     for name, fn in (("seqdb", lambda: asm.build_db(reads=reads)),

@@ -67,3 +67,27 @@ def test_device_overlap_matches_host(rng):
     shared = set(ht) & set(dt)
     agree = sum(1 for p in shared if ht[p] == dt[p])
     assert agree / max(len(shared), 1) > 0.95
+
+
+def test_hybrid_overlap_matches_host(rng):
+    """overlap_all_hybrid (TPU thread + host threads pulling chunks from
+    one queue) reproduces the host chunked path at pair-set level."""
+    from peregrine_tpu.ops.overlap import overlap_all, overlap_all_hybrid
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_ovlp_aln=300,
+                    sketch_pad_len=8192, sketch_batch=16, aln_batch=64)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    host = overlap_all(db, idx, cfg, n_chunks=4, n_workers=2)
+    hyb = overlap_all_hybrid(db, idx, cfg, n_chunks=4, n_host_workers=2)
+
+    def pairs(recs):
+        return {tuple(sorted((int(o["y0"] >> np.uint64(32)),
+                              int(o["y1"] >> np.uint64(32))))) for o in recs}
+
+    hp, yp = pairs(host), pairs(hyb)
+    jac = len(hp & yp) / max(len(hp | yp), 1)
+    assert jac > 0.95, (len(hp), len(yp), jac)
