@@ -213,6 +213,21 @@ myers_batch = jax.jit(_myers_core, static_argnames=("nb", "unroll"))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "nb", "unroll"))
+def myers_batch_db_packed(seqdb, cols: jnp.ndarray, *, L: int, nb: int = 8,
+                          unroll: int = 32):
+    """myers_batch_db with the seven per-request columns packed into ONE
+    [B, 7] int64 array (q_off, q_rstart, q_len, q_strand, t_off, t_len,
+    t_strand).  One host->device transfer + one dispatch per batch — the
+    per-column asarray calls cost ~60 ms/batch through the remote tunnel
+    and dominated the device overlap path at scale (BENCH.md)."""
+    return myers_batch_db(
+        seqdb, cols[:, 0], cols[:, 1], cols[:, 2].astype(jnp.int32),
+        cols[:, 3].astype(jnp.int32), cols[:, 4],
+        cols[:, 5].astype(jnp.int32), cols[:, 6].astype(jnp.int32),
+        L=L, nb=nb, unroll=unroll)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "nb", "unroll"))
 def myers_batch_db(seqdb,
                    q_off: jnp.ndarray, q_rstart: jnp.ndarray,
                    q_lens: jnp.ndarray, q_strand: jnp.ndarray,

@@ -618,18 +618,21 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     log = logging.getLogger("peregrine_tpu")
     t_enum = _time.time()
 
+    from .device_align import myers_batch_db_packed
+
     def dispatch_batch(idxs, pad):
         nreq = len(idxs)
-        def col(src, dtype):
-            a = np.zeros(batch, dtype)
-            a[:nreq] = src[idxs]
-            return jnp.asarray(a)
+        cols = np.zeros((batch, 7), np.int64)
+        cols[:nreq, 0] = qo_all[idxs]
+        cols[:nreq, 1] = qr_all[idxs]
+        cols[:nreq, 2] = ql_all[idxs]
+        cols[:nreq, 3] = s0a[idxs]
+        cols[:nreq, 4] = to_all[idxs]
+        cols[:nreq, 5] = tl_all[idxs]
+        cols[:nreq, 6] = s1a[idxs]
         try:
-            return myers_batch_db(
-                seqdb_dev, col(qo_all, np.int64), col(qr_all, np.int64),
-                col(ql_all, np.int32), col(s0a, np.int32),
-                col(to_all, np.int64), col(tl_all, np.int32),
-                col(s1a, np.int32), L=pad, nb=8, unroll=unroll)
+            return myers_batch_db_packed(seqdb_dev, jnp.asarray(cols),
+                                         L=pad, nb=8, unroll=unroll)
         except Exception as e:  # device/compile failure: replay falls back
             log.warning("device alignment batch failed (%s); "
                         "native fallback", e)
