@@ -17,4 +17,15 @@ import jax
 # 64-bit integer lanes; enable x64 once, package-wide, before any tracing.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent-compile-cache keys must not depend on WHO calls a kernel:
+# lowered modules (and especially the serialized Mosaic payloads inside
+# tpu_custom_call backend_configs) embed the full caller traceback by
+# default, so the same jit invoked from a different script — or after any
+# line-number shift in a caller — got a fresh cache key and a full remote
+# recompile (measured 250-700 s per stall on the axon tunnel).  Stripping
+# tracebacks from locations makes the lowering byte-identical across call
+# paths (verified by diffing lowered text from structurally different
+# callers).
+jax.config.update("jax_include_full_tracebacks_in_locations", False)
+
 __version__ = "0.1.0"
