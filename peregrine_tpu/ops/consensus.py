@@ -124,27 +124,38 @@ def cns_from_tags(tag_lists, t_len: int, min_cov: int) -> bytes:
 def _window_groups(mapped_rows: np.ndarray, ref_len: int,
                    grow: int = 50000, cap: int = 100000):
     """Split a contig's sorted mapping rows into consensus windows
-    (reference pg_asm_cns.py:68-98)."""
+    (reference pg_asm_cns.py:68-98).
+
+    Returns [[left, right, ranges]] where ranges is a list of (start, end)
+    index ranges into mapped_rows (the boundary row that closes a window
+    belongs to no window — a reference quirk preserved here).  The row
+    loop is replaced by searchsorted jumps over the sorted positions: a
+    window boundary is the first row with p1 >= left + grow, exactly the
+    loop's close condition; per-row Python iteration cost ~16 s at 3M
+    rows."""
+    p1s = mapped_rows[:, 1] if len(mapped_rows) else np.zeros(0, np.int64)
     groups = []
     left = 1000
-    group: list[np.ndarray] = []
-    for row in mapped_rows:
-        p1 = int(row[1])
-        if p1 - left < grow:
-            group.append(row)
-        else:
-            groups.append([left, p1, group] if p1 - left < cap
-                          else [left, p1, []])
-            group = []
-            left = p1
+    start = 0
+    n = len(p1s)
+    while start < n:
+        b = int(np.searchsorted(p1s, left + grow, side="left"))
+        if b >= n:
+            break
+        p1 = int(p1s[b])
+        groups.append([left, p1, [(start, b)]] if p1 - left < cap
+                      else [left, p1, []])
+        left = p1
+        start = b + 1
+    tail = [(start, n)] if start < n else []
     if ref_len - left < cap:
         if ref_len - left > 1000:
-            groups.append([left, ref_len, group])
+            groups.append([left, ref_len, tail])
         elif groups:
             groups[-1][1] = ref_len
-            groups[-1][2].extend(group)
+            groups[-1][2].extend(tail)
         else:
-            groups.append([left, ref_len, []])
+            groups.append([left, ref_len, tail])
     else:
         groups.append([left, ref_len, []])
     return groups
@@ -156,16 +167,19 @@ def plan_windows(ref_len_total: int, mapped_rows: np.ndarray,
     (read_id, strand, shift) entries (reference pg_asm_cns.py:68-139)."""
     order = np.argsort(mapped_rows[:, 1], kind="stable")
     rows = mapped_rows[order]
+    # column lists once (per-row numpy indexing dominated this planner)
+    rid_l = rows[:, 3].tolist() if len(rows) else []
+    off_l = (rows[:, 1] - rows[:, 4]).tolist() if len(rows) else []
+    dir_l = rows[:, 6].tolist() if len(rows) else []
     specs = []
-    for left, right, mapped in _window_groups(rows, ref_len_total, grow, cap):
+    for left, right, ranges in _window_groups(rows, ref_len_total, grow, cap):
         left = left - 1000
         assert left >= 0
         # multiple anchor offsets per (read, strand): keep distinct shifts
         rmap: dict[tuple[int, int], list[int]] = {}
-        for row in mapped:
-            read_id = int(row[3])
-            read_offset = int(row[1]) - int(row[4])
-            rmap.setdefault((read_id, int(row[6])), []).append(read_offset)
+        for s, e in ranges:
+            for i in range(s, e):
+                rmap.setdefault((rid_l[i], dir_l[i]), []).append(off_l[i])
         reads = []
         for (read_id, strand), offs in rmap.items():
             offs.sort()
