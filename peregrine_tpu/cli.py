@@ -59,6 +59,8 @@ def main(argv=None) -> int:
                      help="shard the seqdb across all devices and route "
                           "alignment requests over ICI (for dbs larger "
                           "than one chip's HBM); implies --device-aligner")
+    asm.add_argument("--profile-dir", default=None,
+                     help="write a jax.profiler trace of the run here")
     asm.add_argument("-v", "--verbose", action="store_true")
 
     mp = sub.add_parser("map", help="map reads to a reference "
@@ -106,20 +108,28 @@ def main(argv=None) -> int:
             hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
-        asm_obj.build_db(reads_list=args.reads_lst)
-        if args.with_l0:
-            from .ops.index import build_index
-            idx, l0 = build_index(asm_obj.db, cfg, keep_l0=True)
-            prefix = f"{args.output}/1-index/shmr"
-            idx.save(prefix, level=cfg.levels)
-            l0.save(prefix, level=0)
-            asm_obj.idx = idx
-        else:
-            asm_obj.build_shimmer_index()
-        asm_obj.build_overlaps(args.n_chunks, args.n_workers)
-        fa = asm_obj.build_contigs()
-        if args.with_consensus:
-            fa = asm_obj.build_consensus(args.n_workers)
+        if args.profile_dir:
+            import jax
+            jax.profiler.start_trace(args.profile_dir)
+        try:
+            asm_obj.build_db(reads_list=args.reads_lst)
+            if args.with_l0:
+                from .ops.index import build_index
+                idx, l0 = build_index(asm_obj.db, cfg, keep_l0=True)
+                prefix = f"{args.output}/1-index/shmr"
+                idx.save(prefix, level=cfg.levels)
+                l0.save(prefix, level=0)
+                asm_obj.idx = idx
+            else:
+                asm_obj.build_shimmer_index()
+            asm_obj.build_overlaps(args.n_chunks, args.n_workers)
+            fa = asm_obj.build_contigs()
+            if args.with_consensus:
+                fa = asm_obj.build_consensus(args.n_workers)
+        finally:
+            if args.profile_dir:
+                import jax
+                jax.profiler.stop_trace()
         print(fa)
         return 0
 
