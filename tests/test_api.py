@@ -81,3 +81,13 @@ def test_cli_gather_mc(tmp_path):
     m, c = formats.read_mm_count(out)
     assert m.tolist() == [5, 9, 12, 30]
     assert c.tolist() == [2, 5, 7, 1]
+
+
+def test_config_json_roundtrip():
+    """AsmConfig survives the JSON round trip used by worker processes."""
+    from peregrine_tpu.config import AsmConfig
+
+    cfg = AsmConfig(k=14, w=40, r=4, levels=1, min_idt=98.5, lfc=True,
+                    hybrid_overlap=True, use_device_aligner=True)
+    assert AsmConfig.from_json(cfg.to_json()) == cfg
+    assert AsmConfig.from_json(AsmConfig().to_json()) == AsmConfig()
