@@ -51,7 +51,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from peregrine_tpu.ops.index import index_step
 
-    B, L = 1024, 32768
+    B, L = 8192, 32768
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     lengths = jnp.asarray(np.full(B, L, np.int32))
