@@ -75,3 +75,32 @@ def test_index_save_load_chunks(tmp_path, rng):
         sorted(zip(full.x.tolist(), full.y.tolist()))
     np.testing.assert_array_equal(merged.mc_hash, full.mc_hash)
     np.testing.assert_array_equal(merged.mc_count, full.mc_count)
+
+
+def test_build_index_cap_overflow_refetch(rng):
+    """Dense sketches (tiny w) overflow the capped per-batch fetch;
+    build_index must detect it via the exact counts and refetch uncapped."""
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=3, r=4, levels=1, sketch_pad_len=4096,
+                    sketch_batch=16)
+    genome = random_genome(rng, 20000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=6.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    # oracle: uncapped single batch through the same kernel
+    import jax
+    import jax.numpy as jnp
+    from peregrine_tpu.ops.index import index_step
+    pad = 4096
+    codes, lens = db.padded_code_batch(range(len(db)), pad)
+    x, y, c, c0 = jax.device_get(index_step(
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(np.arange(len(db), dtype=np.uint32)),
+        w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=0))
+    assert (np.asarray(c0) > max(256, pad // 8)).any()  # must overflow
+    want_x = np.concatenate([x[b, :c[b]] for b in range(len(db))])
+    want_y = np.concatenate([y[b, :c[b]] for b in range(len(db))])
+    np.testing.assert_array_equal(idx.x, want_x)
+    np.testing.assert_array_equal(idx.y, want_y)

@@ -317,3 +317,26 @@ def test_move_plane_interpret_matches_shift(rng):
         for b in range(B):
             np.testing.assert_array_equal(got[b, :cnt[b]],
                                           np.asarray(ref)[b, :cnt[b]])
+
+
+def test_sketch_long_cap_overflow_fallback(rng):
+    """A dense sketch (tiny w) overflows the capped device fetch; the
+    uncapped refetch path must still return the exact emission set."""
+    from peregrine_tpu.ops.sketch import sketch_batch, sketch_long_np
+    import jax
+    import jax.numpy as jnp
+
+    seq = random_seq(rng, 100_000)
+    codes = seq_to_codes(seq)
+    # w=3: density ~2/(w+1) = 0.5 per base >> cap (= pad/8)
+    pad = 1 << 17
+    batch = np.full((1, pad), 4, np.uint8)
+    batch[0, :len(codes)] = codes
+    x, y, c = jax.device_get(sketch_batch(
+        jnp.asarray(batch), jnp.asarray([len(codes)], np.int32),
+        jnp.asarray([3], np.uint32), w=3, k=12))
+    want = list(zip(x[0, :c[0]].tolist(), y[0, :c[0]].tolist()))
+    assert c[0] > pad // 8  # the test must actually overflow the cap
+    gx, gy = sketch_long_np(codes, 3, 3, 12, seg=1 << 15, margin=1 << 12)
+    got = list(zip(gx.tolist(), gy.tolist()))
+    assert got == want
