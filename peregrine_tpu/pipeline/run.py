@@ -108,9 +108,12 @@ class Assembly:
                     log.warning("hybrid overlap requested without an "
                                 "accelerator; using host chunks only")
                 n_workers = n_workers or (os.cpu_count() or 1)
+                # one chunk per worker thread (host threads + the device
+                # thread): every EXTRA chunk duplicates 55-80% of a
+                # chunk's alignments (per-chunk rid-pair dedup; BENCH.md)
                 ovlps = overlap_all_hybrid(
                     self.db, self.idx, self.cfg,
-                    n_chunks=n_chunks or 4 * n_workers,
+                    n_chunks=n_chunks or (n_workers + 1),
                     n_host_workers=n_workers)
             elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
