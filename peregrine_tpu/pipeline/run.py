@@ -64,6 +64,7 @@ class Assembly:
             f.write(cfg.to_json())
         self.db: SeqDB | None = None
         self.idx: ShimmerIndex | None = None
+        self._save_thread = None  # async stage-0 checkpoint write
 
     # --- stage 0: sequence database ------------------------------------
     def build_db(self, reads=None, reads_list: str | None = None) -> SeqDB:
@@ -74,8 +75,18 @@ class Assembly:
             t0 = time.time()
             self.db = (SeqDB.from_file_list(reads_list) if reads is None
                        else SeqDB.from_reads(reads))
-            self.db.save(prefix)
-            log.info("stage 0 seqdb: %d reads, %d bases (%.1fs)",
+            # the checkpoint write (7.5 GB at 250 Mb scale) overlaps the
+            # index stage: every in-process consumer uses the in-memory
+            # db; only the consensus window threads re-open the FILE, so
+            # _polish joins this thread first.  save() writes .seqdb
+            # before .idx, and resume trusts .idx — a crash mid-write
+            # cannot leave a checkpoint that resume believes complete.
+            import threading
+            self._save_thread = threading.Thread(
+                target=self.db.save, args=(prefix,), name="seqdb-save")
+            self._save_thread.start()
+            log.info("stage 0 seqdb: %d reads, %d bases (%.1fs; "
+                     "checkpoint writes in background)",
                      len(self.db), int(self.db.lengths.sum()), time.time() - t0)
         return self.db
 
@@ -223,6 +234,10 @@ class Assembly:
             n_workers = os.cpu_count() or 1
         contig_rows = {rid: (rows[rows[:, 0] == rid] if len(rows) else rows)
                        for rid in range(len(ctg_db))}
+        if self._save_thread is not None:
+            # the window threads re-open the seqdb from disk
+            self._save_thread.join()
+            self._save_thread = None
         if n_workers > 1:
             seqs = consensus_parallel(
                 os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
