@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                           "than one chip's HBM); implies --device-aligner")
     asm.add_argument("--profile-dir", default=None,
                      help="write a jax.profiler trace of the run here")
+    asm.add_argument("--on-config-change", default="error",
+                     choices=("error", "clean", "ignore"),
+                     help="resuming an outdir built with a different config: "
+                          "refuse (error), invalidate stages 1-4 (clean), "
+                          "or trust the caller (ignore)")
     asm.add_argument("-v", "--verbose", action="store_true")
 
     mp = sub.add_parser("map", help="map reads to a reference "
@@ -107,7 +112,8 @@ def main(argv=None) -> int:
             use_device_aligner=args.device_aligner or args.shard_overlap,
             hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap)
-        asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt)
+        asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt,
+                           on_config_change=args.on_config_change)
         if args.profile_dir:
             import jax
             jax.profiler.start_trace(args.profile_dir)

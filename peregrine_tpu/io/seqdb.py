@@ -94,32 +94,38 @@ def _open_maybe_gz(path: str):
 
 
 def read_fastx(path: str) -> Iterator[tuple[str, bytes]]:
-    """Yield (name, sequence) from FASTA or FASTQ, optionally gzipped."""
+    """Yield (name, sequence) from FASTA or FASTQ, optionally gzipped.
+
+    Follows kseq semantics (reference: src/kseq.h:100-223): a record starts
+    at '>' or '@'; sequence spans every following line until the next
+    '>'/'@'/'+'; a '+' introduces quality lines, consumed until their
+    accumulated length reaches the sequence length (so quality lines that
+    happen to start with '@' or '>' cannot be mistaken for headers).
+    Handles wrapped (multi-line) sequence and quality in both formats.
+    """
     with _open_maybe_gz(path) as f:
-        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
-        if first == b"@":  # FASTQ
-            while True:
-                header = f.readline()
-                if not header:
-                    return
-                seq = f.readline().strip()
-                f.readline()  # '+'
-                f.readline()  # quals
-                yield header[1:].split()[0].decode(), seq
-        else:  # FASTA (possibly multi-line)
-            name, chunks = None, []
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                if line.startswith(b">"):
-                    if name is not None:
-                        yield name, b"".join(chunks)
-                    name, chunks = line[1:].split()[0].decode(), []
-                else:
-                    chunks.append(line)
-            if name is not None:
-                yield name, b"".join(chunks)
+        line = f.readline()
+        while line and line[:1] not in (b">", b"@"):
+            line = f.readline()  # skip leading junk, as kseq does
+        while line:
+            name = line[1:].split()[0].decode() if line[1:].split() else ""
+            chunks: list[bytes] = []
+            line = f.readline()
+            while line and line[:1] not in (b">", b"@", b"+"):
+                s = line.strip()
+                if s:
+                    chunks.append(s)
+                line = f.readline()
+            seq = b"".join(chunks)
+            if line[:1] == b"+":  # FASTQ quality block
+                qlen = 0
+                while qlen < len(seq):
+                    qline = f.readline()
+                    if not qline:
+                        break
+                    qlen += len(qline.strip())
+                line = f.readline()
+            yield name, seq
 
 
 @dataclass

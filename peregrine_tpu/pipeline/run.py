@@ -34,6 +34,26 @@ from ..ops.overlap import overlap_all, ovlps_to_text
 
 log = logging.getLogger("peregrine_tpu")
 
+# Batching/padding knobs that change execution shape but not outputs; a
+# resume may differ on these without invalidating stage checkpoints.
+_NON_SEMANTIC_CFG_FIELDS = frozenset(
+    {"sketch_pad_len", "sketch_batch", "aln_batch", "aln_max_len"})
+
+
+class ConfigMismatchError(RuntimeError):
+    """Raised when resuming an outdir whose config.json disagrees with the
+    current AsmConfig on an output-affecting field (reference analog:
+    pypeflow re-runs tasks whose declared inputs changed,
+    py/scripts/pg_run.py:164-191 — silent reuse of mixed-config stage
+    outputs is a correctness trap)."""
+
+
+def _semantic_cfg_diff(old: AsmConfig, new: AsmConfig) -> dict:
+    import dataclasses as _dc
+    o, n = _dc.asdict(old), _dc.asdict(new)
+    return {k: (o[k], n[k]) for k in o
+            if k not in _NON_SEMANTIC_CFG_FIELDS and o.get(k) != n[k]}
+
 
 def _stage_done(path: str) -> bool:
     return os.path.exists(path)
@@ -53,18 +73,50 @@ class Assembly:
     """Driver holding per-stage state; file outputs double as checkpoints."""
 
     def __init__(self, outdir: str, cfg: AsmConfig = AsmConfig(),
-                 with_alt: bool = False, profile_dir: str | None = None):
+                 with_alt: bool = False, profile_dir: str | None = None,
+                 on_config_change: str = "error"):
+        """on_config_change: what to do when outdir holds checkpoints written
+        under a semantically different AsmConfig — "error" (refuse),
+        "clean" (invalidate stages 1-4 and re-run; stage-0 seqdb is
+        config-independent), or "ignore" (trust the caller)."""
+        assert on_config_change in ("error", "clean", "ignore")
         self.outdir = outdir
         self.cfg = cfg
         self.with_alt = with_alt
         self.profile_dir = profile_dir  # jax.profiler trace output (optional)
+        cfg_path = os.path.join(outdir, "config.json")
+        if os.path.exists(cfg_path) and on_config_change != "ignore":
+            try:
+                old = AsmConfig.from_json(open(cfg_path).read())
+            except (TypeError, ValueError):
+                old = None  # unreadable/older schema: treat as mismatch
+            diff = (_semantic_cfg_diff(old, cfg) if old is not None
+                    else {"<config.json>": ("unreadable", "current")})
+            if diff:
+                if on_config_change == "error":
+                    raise ConfigMismatchError(
+                        f"{outdir} holds checkpoints built with a different "
+                        f"config: {diff}. Pass on_config_change='clean' to "
+                        "invalidate stages 1-4, or 'ignore' to proceed.")
+                self._invalidate_stages()
+                log.warning("config changed (%s): invalidated stage 1-4 "
+                            "checkpoints in %s", diff, outdir)
         for d in ("0-seqdb", "1-index", "2-ovlp", "3-asm", "4-cns"):
             os.makedirs(os.path.join(outdir, d), exist_ok=True)
-        with open(os.path.join(outdir, "config.json"), "w") as f:
+        with open(cfg_path, "w") as f:
             f.write(cfg.to_json())
         self.db: SeqDB | None = None
         self.idx: ShimmerIndex | None = None
         self._save_thread = None  # async stage-0 checkpoint write
+
+    def _invalidate_stages(self) -> None:
+        """Remove config-dependent stage checkpoints (1-index through 4-cns
+        and the alt-polish dir); the stage-0 seqdb only depends on the reads."""
+        import shutil
+        for d in ("1-index", "2-ovlp", "3-asm", "4-cns", "4-cns-alt"):
+            p = os.path.join(self.outdir, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     # --- stage 0: sequence database ------------------------------------
     def build_db(self, reads=None, reads_list: str | None = None) -> SeqDB:

@@ -65,6 +65,50 @@ def test_fastx_reader(tmp_path, rng):
     assert {k: v for k, v in got.items()} == seqs
 
 
+def test_fastq_reader_fourline(tmp_path, rng):
+    fq = tmp_path / "t.fq"
+    seqs = {f"q{i}": random_seq(rng, 80) for i in range(3)}
+    with open(fq, "w") as f:
+        for n, s in seqs.items():
+            f.write(f"@{n} desc\n{s.decode()}\n+\n{'I' * len(s)}\n")
+    assert dict(read_fastx(str(fq))) == seqs
+
+
+def test_fastq_reader_wrapped(tmp_path, rng):
+    """Wrapped (multi-line) FASTQ per kseq semantics (src/kseq.h:100-223):
+    sequence until '+', quality consumed BY LENGTH — including quality lines
+    that start with '@' or '>'."""
+    fq = tmp_path / "w.fq"
+    s1, s2 = random_seq(rng, 100), random_seq(rng, 73)
+    q1 = b"@" + b"I" * 49 + b"\n" + b">" + b"J" * 49  # trap lines
+    with open(fq, "w") as f:
+        f.write(f"@r1\n{s1[:40].decode()}\n{s1[40:80].decode()}\n"
+                f"{s1[80:].decode()}\n+r1 comment\n{q1.decode()}\n")
+        f.write(f"@r2\n{s2[:50].decode()}\n{s2[50:].decode()}\n"
+                f"+\n{'K' * 30}\n{'K' * 43}\n")
+    got = dict(read_fastx(str(fq)))
+    assert got == {"r1": s1, "r2": s2}
+
+
+def test_fastx_reader_gz_and_junk(tmp_path, rng):
+    import gzip
+    fa = tmp_path / "t.fa.gz"
+    s = random_seq(rng, 90)
+    with gzip.open(fa, "wt") as f:
+        f.write("; leading junk kseq skips\n\n")
+        f.write(f">only read\n{s[:30].decode()}\n\n{s[30:].decode()}\n")
+    assert dict(read_fastx(str(fa))) == {"only": s}
+
+
+def test_fastx_mixed_fasta_fastq(tmp_path, rng):
+    """kseq treats '>' and '@' records uniformly within one file."""
+    fx = tmp_path / "m.fx"
+    s1, s2 = random_seq(rng, 60), random_seq(rng, 40)
+    with open(fx, "w") as f:
+        f.write(f">a\n{s1.decode()}\n@b\n{s2.decode()}\n+\n{'I' * 40}\n")
+    assert dict(read_fastx(str(fx))) == {"a": s1, "b": s2}
+
+
 def test_padded_batch(rng):
     reads = [(f"r{i}", random_seq(rng, 50 + i)) for i in range(4)]
     db = SeqDB.from_reads(reads)
