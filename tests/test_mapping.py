@@ -55,6 +55,76 @@ def test_map_ref_to_ref_self_hits(rng):
     assert exact == len(self_rows)
 
 
+def _map_scalar_oracle(read_idx, read_lengths, ref_idx, cfg):
+    """Direct transcription of the reference anchor walk
+    (src/shmr_map.c:93-157) — golden oracle for the vectorized version."""
+    from peregrine_tpu.ops.overlap import build_pairs
+
+    key0, key1, y0a, y1a, dira = build_pairs(
+        read_idx, read_lengths, 1, 1,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    buckets = {}
+    if len(key0):
+        change = np.flatnonzero((key0[1:] != key0[:-1])
+                                | (key1[1:] != key1[:-1])) + 1
+        bounds = np.concatenate([[0], change, [len(key0)]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            buckets[(int(key0[a]), int(key1[a]))] = (int(a), int(b))
+    mmer0_keys = {int(k) for k in key0}
+    rx, ry = ref_idx.x, ref_idx.y
+    counts = read_idx.counts_for(rx >> np.uint64(8))
+    n = len(rx)
+    s = 0
+    while s < n and int(rx[s]) not in mmer0_keys:
+        s += 1
+    rows = []
+    if s >= n:
+        return np.zeros((0, 9), np.int64)
+    rid_of = (ry >> np.uint64(32)).astype(np.int64)
+    pos_of = ((ry & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64)
+    m0 = s
+    for i in range(s + 1, n):
+        c1 = int(counts[i])
+        if c1 == 0 or c1 < cfg.mc_lower or c1 > cfg.mc_upper:
+            continue
+        if rid_of[m0] != rid_of[i]:
+            m0 = i
+            continue
+        bucket = buckets.get((int(rx[m0]), int(rx[i])))
+        if bucket is None:
+            m0 = i
+            continue
+        pos0, pos1 = int(pos_of[m0]), int(pos_of[i])
+        if ((pos1 & 0xFFFFFFF) - (pos0 & 0xFFFFFFF)) % (1 << 28) \
+                < cfg.min_anchor_dist:
+            m0 = i
+            continue
+        for j in range(*bucket):
+            rows.append((int(rid_of[m0]), pos0, pos1,
+                         int(y0a[j] >> np.uint64(32)),
+                         int((y0a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)),
+                         int((y1a[j] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)),
+                         int(dira[j]), int(counts[m0]), c1))
+        m0 = i
+    return (np.asarray(rows, np.int64) if rows
+            else np.zeros((0, 9), np.int64))
+
+
+def test_map_vectorized_matches_scalar_oracle(rng):
+    """The vectorized anchor walk emits row-for-row what the reference's
+    scalar walk emits (same order)."""
+    cfg = _cfg()
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=8.0)
+    read_db = SeqDB.from_reads(reads)
+    ref_db = SeqDB.from_reads([("ref", genome), ("ref2", genome[5000:30000])])
+    read_idx = build_index(read_db, cfg)
+    ref_idx = build_index(ref_db, cfg)
+    got = map_reads_to_ref(read_idx, read_db.lengths, ref_idx, cfg)
+    want = _map_scalar_oracle(read_idx, read_db.lengths, ref_idx, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_write_rows_matches_savetxt(tmp_path, rng):
     """The C++ mapping-row writer (native.write_rows) formats exactly like
     np.savetxt(fmt='%d') modulo the separator run."""
