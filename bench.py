@@ -1,8 +1,14 @@
-"""Benchmark: SHIMMER index throughput per chip (fused device step).
+"""Benchmark: SHIMMER index throughput per chip + cost-center stage metrics.
 
-Prints ONE JSON line:
+Prints ONE JSON line; the headline metric is the fused device index step,
+and the "extra" object carries the driver-visible cost-center metrics so a
+regression in overlap or consensus shows up in BENCH_rN.json (VERDICT r1
+item 9):
+
   {"metric": "index_throughput", "value": <Mbases/s>, "unit": "Mbases/s",
-   "vs_baseline": <ratio>}
+   "vs_baseline": <ratio>,
+   "extra": {"overlap_alignments_per_s": ..., "overlap_workers": ...,
+             "cns_window_100kb_s": ..., "cns_windows_per_s": ...}}
 
 Baseline: the reference shmr_index (single core, C, L0 output off) measured
 at 90.9 Mbases/s on this machine (3000 x 15 kb synthetic reads; see
@@ -40,6 +46,75 @@ def measure_reference(tmpdir: str) -> float | None:
                     "-o", os.path.join(tmpdir, "shmr"), "-m", "0"],
                    check=True, capture_output=True)
     return float(db.lengths.sum()) / (time.time() - t0) / 1e6
+
+
+def measure_overlap_alignments() -> tuple[float, int]:
+    """Host overlap-confirm throughput: the parallel speculative aligner
+    (native align_spec over all cores) on synthetic 15 kb pairs with ~10 kb
+    true overlap and 1% error — the shape of the stage-2 hot loop."""
+    import concurrent.futures as cf
+
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.native import SPEC_REQ_DTYPE, align_spec
+
+    rng = np.random.default_rng(1)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    n_pairs = 1500
+    rl, shift = 15000, 5000
+    reads = []
+    for i in range(n_pairs):
+        g = rng.integers(0, 4, rl + shift).astype(np.uint8)
+        for part in (g[:rl], g[shift:]):
+            r = part.copy()
+            err = rng.random(rl) < 0.01
+            r[err] = (r[err] + rng.integers(1, 4, int(err.sum()))) % 4
+            reads.append((f"r{len(reads)}", b2a[r].tobytes()))
+    db = SeqDB.from_reads(reads)
+    reqs = np.zeros(n_pairs, SPEC_REQ_DTYPE)
+    reqs["rid0"] = np.arange(n_pairs) * 2
+    reqs["rid1"] = np.arange(n_pairs) * 2 + 1
+    reqs["pos0"] = shift + 1
+    reqs["pos1"] = 1
+    res = np.zeros((n_pairs, 8), np.int32)
+    workers = os.cpu_count() or 1
+    step = -(-n_pairs // workers)
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(align_spec, reqs, lo, min(lo + step, n_pairs),
+                          db.data, db.offsets, db.lengths, 100, res)
+                for lo in range(0, n_pairs, step)]
+        for f in futs:
+            f.result()
+    dt = time.time() - t0
+    assert (res[:, 5] > 9000).mean() > 0.9  # sanity: real ~10 kb alignments
+    return n_pairs / dt, workers
+
+
+def measure_cns_window() -> float:
+    """Native consensus window core: one 100 kb template at 30x, 1% error
+    (the stage-4 unit of work); returns seconds per window."""
+    from peregrine_tpu.native import window_cns
+
+    rng = np.random.default_rng(2)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    tpl = rng.integers(0, 4, 100000).astype(np.uint8)
+    rl = 15000
+    reads, shifts = [], []
+    for s in range(0, len(tpl) - rl + 1, 500):
+        r = tpl[s:s + rl].copy()
+        err = rng.random(rl) < 0.01
+        r[err] = (r[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        reads.append(b2a[r].tobytes())
+        shifts.append(s)
+    ref = b2a[tpl].tobytes()
+    window_cns(ref, reads, shifts, 150, 1)  # warm
+    n = 3
+    t0 = time.time()
+    for _ in range(n):
+        out = window_cns(ref, reads, shifts, 150, 1)
+    dt = (time.time() - t0) / n
+    assert len(out) > 90000
+    return dt
 
 
 def main() -> None:
@@ -80,10 +155,25 @@ def main() -> None:
     except Exception:
         pass
 
+    extra = {}
+    try:
+        aln_s, workers = measure_overlap_alignments()
+        extra["overlap_alignments_per_s"] = round(aln_s, 1)
+        extra["overlap_workers"] = workers
+    except Exception:
+        pass
+    try:
+        w_s = measure_cns_window()
+        extra["cns_window_100kb_s"] = round(w_s, 4)
+        extra["cns_windows_per_s"] = round(1.0 / w_s, 2)
+    except Exception:
+        pass
+
     print(json.dumps({"metric": "index_throughput",
                       "value": round(mbases, 1),
                       "unit": "Mbases/s",
-                      "vs_baseline": round(mbases / baseline, 2)}))
+                      "vs_baseline": round(mbases / baseline, 2),
+                      "extra": extra}))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                           "than one chip's HBM); implies --device-aligner")
     asm.add_argument("--profile-dir", default=None,
                      help="write a jax.profiler trace of the run here")
+    asm.add_argument("--mesh", action="store_true",
+                     help="run the index stage sharded over all devices "
+                          "(data-parallel sketch + hash all_to_all); output "
+                          "is identical to the single-device build")
     asm.add_argument("--on-config-change", default="error",
                      choices=("error", "clean", "ignore"),
                      help="resuming an outdir built with a different config: "
@@ -111,7 +115,7 @@ def main(argv=None) -> int:
             disable_chimer_bridge_removal=args.disable_chimer_bridge_removal,
             use_device_aligner=args.device_aligner or args.shard_overlap,
             hybrid_overlap=args.hybrid_overlap,
-            shard_overlap=args.shard_overlap)
+            shard_overlap=args.shard_overlap, mesh=args.mesh)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt,
                            on_config_change=args.on_config_change)
         if args.profile_dir:

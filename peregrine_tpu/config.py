@@ -47,6 +47,14 @@ class AsmConfig:
     alt_cns_min_size: int = 500000  # a_ctg.fa size gate for the alt polish
     #                                 pass (py/scripts/pg_run.py:623-624)
 
+    # --- overlap work-distribution (no reference analog)
+    dedup_overlap: bool = True   # global rid-pair dedup: speculative parallel
+    #                              alignment + exact sequential replay; output
+    #                              is identical to a 1-chunk run at any worker
+    #                              count (the reference's per-process RPAIR
+    #                              tables re-align 55-80% of pairs per added
+    #                              chunk, src/shmr_overlap.c:101-107)
+
     # --- TPU execution knobs (no reference analog; device-side batching)
     sketch_pad_len: int = 1 << 15   # pad reads to multiples of this for sketch batches
     sketch_batch: int = 64          # reads per device sketch batch
@@ -56,6 +64,11 @@ class AsmConfig:
     hybrid_overlap: bool = False    # TPU thread + host threads pull overlap
     #                                 chunks from one queue (ops.overlap
     #                                 .overlap_all_hybrid)
+    mesh: bool = False              # run stage 1 (index) sharded over ALL
+    #                                 devices: data-parallel sketch + hash
+    #                                 all_to_all (parallel/sharded_index
+    #                                 .build_index_mesh); output identical
+    #                                 to the single-device build
     shard_overlap: bool = False     # shard the seqdb over all devices and
     #                                 route alignment requests via all_to_all
     #                                 (parallel/sharded_overlap.py); for

@@ -134,8 +134,8 @@ _lib.overlap_replay_c.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # bstart, bend, nb
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # db, offsets, lens
     ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ck_a, ck_b, cd
-    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # cqe, cte, n_cache
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ck_a, ck_b, cvals
+    ctypes.c_int64,                                      # n_cache
     ctypes.POINTER(ctypes.c_void_p), _i64p, _i64p]
 _lib.free_ovlp_recs_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
 
@@ -145,11 +145,13 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
                    db_data: np.ndarray, offsets: np.ndarray,
                    lengths: np.ndarray, bestn: int, fuzz: int, min_aln: int,
                    band: int, ck_a: np.ndarray, ck_b: np.ndarray,
-                   cd: np.ndarray, cqe: np.ndarray, cte: np.ndarray):
+                   cvals: np.ndarray):
     """Native sequential overlap accept loop (overlap_replay.cpp); returns
-    (raw record bytes, n_records, n_cache_misses).  The caller parses the
-    bytes with ops.overlap.OVLP_DTYPE (kept out of here to avoid a
-    circular import)."""
+    (raw record bytes, n_records, n_cache_misses).  cvals is an int32
+    [n, 8] matrix of cached alignment results in OvlpMatch field order
+    (m_size, dist, q_bgn, q_end, t_bgn, t_end, t_m_end, q_m_end), sorted
+    with (ck_a, ck_b).  The caller parses the record bytes with
+    ops.overlap.OVLP_DTYPE (kept out of here to avoid a circular import)."""
     def p(a, dtype):
         a = np.ascontiguousarray(a, dtype)
         return a, a.ctypes.data_as(ctypes.c_void_p)
@@ -164,15 +166,13 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     lengths, lenp = p(lengths, np.int64)
     ck_a, kap = p(ck_a, np.uint64)
     ck_b, kbp = p(ck_b, np.uint64)
-    cd, cdp = p(cd, np.int32)
-    cqe, cqep = p(cqe, np.int32)
-    cte, ctep = p(cte, np.int32)
+    cvals, cvp = p(cvals, np.int32)
     out = ctypes.c_void_p()
     n_out = ctypes.c_int64()
     n_miss = ctypes.c_int64()
     _lib.overlap_replay_c(ysp, dirsp, posp, bsp, bep, len(bstart),
                           dbp, offp, lenp, bestn, fuzz, min_aln, band,
-                          kap, kbp, cdp, cqep, ctep, len(ck_a),
+                          kap, kbp, cvp, len(ck_a),
                           ctypes.byref(out), ctypes.byref(n_out),
                           ctypes.byref(n_miss))
     try:
@@ -181,6 +181,30 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
     return raw, int(n_out.value), int(n_miss.value)
+
+
+_lib.align_spec_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,     # reqs, lo, hi
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # db, offsets, lens
+    ctypes.c_int32, ctypes.c_void_p]                     # band, out
+
+
+def align_spec(reqs: np.ndarray, lo: int, hi: int, db_data: np.ndarray,
+               offsets: np.ndarray, lengths: np.ndarray, band: int,
+               out: np.ndarray) -> None:
+    """Align speculative requests [lo, hi) into out[i, :8] (OvlpMatch field
+    order).  GIL-releasing: call from threads on disjoint slices.  All
+    arrays must be contiguous with the documented dtypes (reqs:
+    SPEC_REQ_DTYPE, offsets/lengths: int64, out: int32 [n, 8])."""
+    assert reqs.dtype == SPEC_REQ_DTYPE and reqs.flags.c_contiguous
+    assert out.dtype == np.int32 and out.flags.c_contiguous
+    assert offsets.dtype == np.int64 and offsets.flags.c_contiguous
+    assert lengths.dtype == np.int64 and lengths.flags.c_contiguous
+    _lib.align_spec_c(reqs.ctypes.data_as(ctypes.c_void_p), lo, hi,
+                      db_data.ctypes.data_as(ctypes.c_void_p),
+                      offsets.ctypes.data_as(ctypes.c_void_p),
+                      lengths.ctypes.data_as(ctypes.c_void_p),
+                      band, out.ctypes.data_as(ctypes.c_void_p))
 
 
 _lib.pack_db_c.argtypes = [

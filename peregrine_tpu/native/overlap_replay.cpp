@@ -51,7 +51,7 @@ constexpr int kOverlap = 0, kContains = 1, kContained = 2;
 
 struct Cache {
   const uint64_t *ka, *kb;
-  const int32_t *d, *qe, *te;
+  const int32_t *vals;  // [n][8] rows in OvlpMatch field order
   int64_t n;
 
   // index of (a, b) in the (ka, kb)-sorted arrays, or -1
@@ -81,11 +81,10 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       const uint8_t *db_data, const int64_t *offsets,
                       const int64_t *lengths, int32_t bestn, int32_t fuzz,
                       int32_t min_aln, int32_t band, const uint64_t *ck_a,
-                      const uint64_t *ck_b, const int32_t *cd,
-                      const int32_t *cqe, const int32_t *cte,
+                      const uint64_t *ck_b, const int32_t *cvals,
                       int64_t n_cache, OvlpRec **out_recs, int64_t *n_out,
                       int64_t *n_miss) {
-  Cache cache{ck_a, ck_b, cd, cqe, cte, n_cache};
+  Cache cache{ck_a, ck_b, cvals, n_cache};
   std::unordered_map<uint64_t, uint8_t> rid_pairs;
   std::vector<OvlpRec> out;
   std::vector<uint8_t> contained;
@@ -132,14 +131,15 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                                ((uint64_t)pos1 << 1) | strand1;
         const int64_t hit = cache.find(key_a, key_b);
         if (hit >= 0) {
-          dist = cd[hit];
-          q_bgn = 0;
-          q_end = cqe[hit];
-          t_bgn = 0;
-          t_end = cte[hit];
-          m_size = (q_end + t_end + 2 * dist) / 2;
-          q_m_end = q_end;
-          t_m_end = t_end;
+          const int32_t *v = cvals + hit * 8;
+          m_size = v[0];
+          dist = v[1];
+          q_bgn = v[2];
+          q_end = v[3];
+          t_bgn = v[4];
+          t_end = v[5];
+          t_m_end = v[6];
+          q_m_end = v[7];
         } else {
           misses++;
           OvlpMatch m;
@@ -211,6 +211,45 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
 void free_ovlp_recs_c(OvlpRec **r) {
   std::free(*r);
   *r = nullptr;
+}
+
+// Align a slice [lo, hi) of speculative requests (spec_enum.cpp layout,
+// 20-byte packed rows) into out[i*8..] rows in OvlpMatch field order.
+// Called concurrently from Python threads on disjoint slices — ctypes
+// releases the GIL for the duration, so host cores scale the speculative
+// phase while the sequential replay stays exact (the cross-chunk dedup:
+// each rid pair is aligned once globally instead of once per hash chunk,
+// reference behavior being per-process RPAIR tables,
+// src/shmr_overlap.c:101-107).
+void align_spec_c(const uint8_t *reqs, int64_t lo, int64_t hi,
+                  const uint8_t *db_data, const int64_t *offsets,
+                  const int64_t *lengths, int32_t band, int32_t *out) {
+  struct Req {
+    uint32_t rid0, rid1;
+    int32_t pos0, pos1;
+    uint8_t s0, s1;
+    uint16_t pad;
+  };
+  static_assert(sizeof(Req) == 20, "request layout must match SPEC_REQ_DTYPE");
+  const Req *r = reinterpret_cast<const Req *>(reqs);
+  for (int64_t i = lo; i < hi; i++) {
+    const Req &q = r[i];
+    const int64_t rlen0 = lengths[q.rid0], rlen1 = lengths[q.rid1];
+    const int64_t shift = (int64_t)q.pos0 - q.pos1;
+    OvlpMatch m;
+    ovlp_match_c(db_data + offsets[q.rid0] + shift, (coor)(rlen0 - shift),
+                 q.s0, db_data + offsets[q.rid1], (coor)rlen1, q.s1, band,
+                 &m);
+    int32_t *o = out + i * 8;
+    o[0] = m.m_size;
+    o[1] = m.dist;
+    o[2] = m.q_bgn;
+    o[3] = m.q_end;
+    o[4] = m.t_bgn;
+    o[5] = m.t_end;
+    o[6] = m.t_m_end;
+    o[7] = m.q_m_end;
+  }
 }
 
 }  // extern "C"

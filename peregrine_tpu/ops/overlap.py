@@ -249,8 +249,7 @@ def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         ys, dirs, pos, bs, be = stream
     if cache is None:
         z64 = np.zeros(0, np.uint64)
-        z32 = np.zeros(0, np.int32)
-        cache = (z64, z64, z32, z32, z32)
+        cache = (z64, z64, np.zeros((0, 8), np.int32))
     raw, n, miss = overlap_replay(
         ys, dirs, pos, bs, be, db.data, db.offsets, db.lengths,
         cfg.best_n_ovlp, cfg.read_end_fuzz, cfg.min_ovlp_aln, cfg.aln_bw,
@@ -364,22 +363,100 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
 
 
+def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                     n_workers: int | None = None, window: int = 12,
+                     per_pair: int = 2, pairs=None) -> np.ndarray:
+    """Globally-deduplicated parallel overlap detection.
+
+    The scaling scheme that replaces hash chunking: enumerate each rid
+    pair's first `per_pair` candidate occurrences in the GLOBAL replay
+    order (native spec_enum), align them on all host cores (align_spec —
+    GIL-releasing threads over disjoint slices of one request array), then
+    run the exact sequential accept replay against the sorted result
+    cache.  Cache hits carry the full native OvlpMatch, so the output is
+    **byte-identical to the 1-chunk run at any worker count** — unlike the
+    reference, where every shmr_overlap process keeps a private RPAIR
+    table (src/shmr_overlap.c:101-107) and 55-80% of each added chunk's
+    alignment work is duplicated (BENCH.md).  Replay misses (occurrence
+    shifted past the speculation window by containment kills / bestn
+    breaks) fall back to the inline native aligner.
+    """
+    import concurrent.futures as cf
+    import os as _os
+
+    from ..native import align_spec, spec_enum
+
+    if n_workers is None:
+        n_workers = _os.cpu_count() or 1
+    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
+        idx, db.lengths, 1, 1,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    sys_, sdirs, spos, sbs, sbe, _ = _bucket_stream(key0, key1, y0a, dira,
+                                                    cfg.ovlp_upper)
+    reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
+    n = len(reqs)
+    res = np.zeros((max(n, 1), 8), np.int32)
+    db_data = np.ascontiguousarray(db.data, np.uint8) \
+        if not db.data.flags.c_contiguous else db.data
+    if n:
+        # fine-grained slices smooth the variable per-alignment cost
+        step = max(1024, n // (8 * n_workers) + 1)
+        slices = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        if n_workers > 1 and len(slices) > 1:
+            with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
+                futs = [ex.submit(align_spec, reqs, lo, hi, db_data,
+                                  db.offsets, db.lengths, cfg.aln_bw, res)
+                        for lo, hi in slices]
+                for f in futs:
+                    f.result()
+        else:
+            align_spec(reqs, 0, n, db_data, db.offsets, db.lengths,
+                       cfg.aln_bw, res)
+    ka = ((reqs["rid0"].astype(np.uint64) << np.uint64(33))
+          | (reqs["pos0"].astype(np.uint64) << np.uint64(1))
+          | reqs["strand0"].astype(np.uint64))
+    kb = ((reqs["rid1"].astype(np.uint64) << np.uint64(33))
+          | (reqs["pos1"].astype(np.uint64) << np.uint64(1))
+          | reqs["strand1"].astype(np.uint64))
+    o = np.lexsort((kb, ka))
+    recs, miss = overlap_chunk_native(
+        db, idx, cfg, stream=(sys_, sdirs, spos, sbs, sbe),
+        cache=(ka[o], kb[o], res[:n][o]))
+    import logging
+    logging.getLogger("peregrine_tpu").info(
+        "overlap dedup: %d speculative alignments on %d workers, "
+        "%d replay misses", n, n_workers, miss)
+    return recs
+
+
 def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 n_chunks: int = 1, n_workers: int = 1,
                 seqdb_prefix: str | None = None,
                 mm_paths: list[str] | None = None,
-                mc_paths: list[str] | None = None) -> np.ndarray:
-    """All overlaps, optionally hash-chunked across worker threads.
+                mc_paths: list[str] | None = None,
+                dedup: bool | None = None) -> np.ndarray:
+    """All overlaps, parallelized across worker threads.
 
-    Each chunk keeps its own rid-pair table (as each reference
-    shmr_overlap process does); cross-chunk duplicates are removed by the
-    text-emission dedup (shmr_dedup semantics in ovlps_to_text).  Chunk
-    workers are THREADS sharing db + idx: the accept loop is one ctypes
-    call (native/overlap_replay.cpp) that releases the GIL, so threads
-    scale like the previous spawn processes without reloading the stage
-    files or pickling the record arrays.  (seqdb_prefix/mm/mc paths are
-    kept for API compatibility; they are no longer needed.)
+    Default (cfg.dedup_overlap): the globally-deduplicated speculative
+    path (overlap_all_spec) — work is sharded by alignment request, not
+    by bucket hash, and the record output is identical to a single-chunk
+    run at any worker count.
+
+    Legacy mode (dedup=False): hash-chunked workers, each chunk keeping
+    its own rid-pair table (as each reference shmr_overlap process does);
+    cross-chunk duplicates are removed by the text-emission dedup
+    (shmr_dedup semantics in ovlps_to_text) but their alignment work is
+    not.  Chunk workers are THREADS sharing db + idx: the accept loop is
+    one ctypes call (native/overlap_replay.cpp) that releases the GIL.
+    (seqdb_prefix/mm/mc paths are kept for API compatibility; they are no
+    longer needed.)
     """
+    if dedup is None:
+        dedup = cfg.dedup_overlap
+    if dedup:
+        if n_workers <= 1:
+            return overlap_chunk_native(db, idx, cfg)[0]
+        return overlap_all_spec(db, idx, cfg, n_workers)
     if n_chunks <= 1:
         return overlap_chunk_native(db, idx, cfg)[0]
     cand = pair_candidates(idx, cfg.mc_lower, cfg.mc_upper,
@@ -702,13 +779,25 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         t_unpack = _time.time()
 
     # replay in C++ against the sorted result arrays; misses fall back to
-    # the native O(ND) kernel inside the loop (native/overlap_replay.cpp)
+    # the native O(ND) kernel inside the loop (native/overlap_replay.cpp).
+    # The device kernel reports (dist, q_end, t_end); the derived fields
+    # reproduce what the 3-field cache hit used to compute inline.
     got = np.flatnonzero(have)
     co = got[np.lexsort((key_b[got], key_a[got]))]
+    cvals = np.zeros((len(co), 8), np.int32)
+    d64 = res_d[co].astype(np.int64)
+    qe64 = res_qe[co].astype(np.int64)
+    te64 = res_te[co].astype(np.int64)
+    cvals[:, 0] = ((qe64 + te64 + 2 * d64) // 2).astype(np.int32)  # m_size
+    cvals[:, 1] = res_d[co]
+    cvals[:, 3] = res_qe[co]          # q_bgn/t_bgn stay 0
+    cvals[:, 5] = res_te[co]
+    cvals[:, 6] = res_te[co]          # t_m_end
+    cvals[:, 7] = res_qe[co]          # q_m_end
     result, misses = overlap_chunk_native(
         db, idx, cfg, chunk, total_chunk,
         stream=(sys_, sdirs, spos, sbs, sbe),
-        cache=(key_a[co], key_b[co], res_d[co], res_qe[co], res_te[co]))
+        cache=(key_a[co], key_b[co], cvals))
     log.info(
         "device overlap: %d cached alignments, %d native fallbacks "
         "(pairs %.1fs, enum %.1fs, dispatch %.1fs, device+unpack %.1fs, "

@@ -169,6 +169,82 @@ def _build_sharded_index(mesh: Mesh, axis: str, n: int, w: int, k: int,
         check_vma=False))
 
 
+def build_index_mesh(db, cfg, mesh: Mesh | None = None,
+                     rid_filter: np.ndarray | None = None):
+    """Stage-1 SHIMMER index on a device mesh (pipeline entry point).
+
+    Reads are sharded over the mesh's data axis; every device sketches and
+    hierarchically reduces its shard (ops.index.index_step) and the records
+    ride the hash all_to_all exchange (sharded_index) — the mesh analog of
+    the reference's N shmr_index processes + the overlapper's per-chunk
+    hash filter (src/shmr_index.c:157, src/shmr_utils.c:337).  The
+    hash-sharded shards are then re-ordered by y (rid<<32|pos) into the
+    rid-ordered layout every downstream stage consumes, so the result is
+    identical to ops.index.build_index (asserted in tests/test_sharded.py).
+    """
+    import jax
+
+    from ..ops.index import (ShimmerIndex, _length_buckets, _merge_counts)
+
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    rids_all = (np.arange(len(db)) if rid_filter is None
+                else np.asarray(rid_filter))
+    lengths = db.lengths[rids_all].astype(np.int64)
+    xs_parts: list[np.ndarray] = []
+    ys_parts: list[np.ndarray] = []
+
+    # long sequences (contigs/references) take the fixed-shape segmented
+    # host path, exactly as ops.index.build_index does
+    long_thresh = 2 * cfg.sketch_pad_len
+    long_sel = lengths > long_thresh
+    if long_sel.any():
+        from ..ops.reduce import reduce_flat_np
+        from ..ops.sketch import sketch_long_np
+        for rid in rids_all[long_sel]:
+            lx, ly = sketch_long_np(db.codes(rid), int(rid), cfg.w, cfg.k,
+                                    seg=cfg.sketch_pad_len)
+            for _ in range(cfg.levels):
+                lx, ly = reduce_flat_np(lx, ly, cfg.r)
+            xs_parts.append(lx)
+            ys_parts.append(ly)
+        rids_all = rids_all[~long_sel]
+        lengths = lengths[~long_sel]
+
+    bucket_unit = max(2048, cfg.sketch_pad_len // 4)
+    for pad, sel in _length_buckets(lengths, bucket_unit).items():
+        batch_rids = rids_all[sel]
+        per_dev = max(1, min(cfg.sketch_batch,
+                             (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
+        bsz = per_dev * n
+        # worst-case per-source record count (sketch cap) so the exchange
+        # can never overflow even if one shard owns every hash
+        cap = max(256, per_dev * (pad // 8))
+        for i in range(0, len(batch_rids), bsz):
+            part = batch_rids[i:i + bsz]
+            codes, lens = db.padded_code_batch(part, pad)
+            shards = sharded_index_host(
+                mesh, codes, lens, part.astype(np.uint32), w=cfg.w, k=cfg.k,
+                r=cfg.r, levels=cfg.levels, cap_per_pair=cap)
+            for sx, sy in shards:
+                xs_parts.append(sx)
+                ys_parts.append(sy)
+
+    if xs_parts:
+        x = np.concatenate(xs_parts)
+        y = np.concatenate(ys_parts)
+    else:
+        x = np.zeros(0, np.uint64)
+        y = np.zeros(0, np.uint64)
+    # y = rid<<32|pos<<1|strand is ascending within each read's emitted
+    # records, so a stable sort by y reconstructs the rid-ordered layout
+    o = np.argsort(y, kind="stable")
+    x, y = x[o], y[o]
+    mh, mc = _merge_counts(x >> np.uint64(8), np.ones(len(x), np.uint32))
+    return ShimmerIndex(x, y, mh, mc)
+
+
 def sharded_index_host(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray,
                        rids: np.ndarray, *, w: int, k: int, r: int,
                        levels: int, cap_per_pair: int | None = None):

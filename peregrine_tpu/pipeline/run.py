@@ -152,10 +152,19 @@ class Assembly:
             self.idx = ShimmerIndex.load_chunks([mm], [mc])
         else:
             t0 = time.time()
-            self.idx = build_index(self.db, self.cfg)
+            mesh_n = 0
+            if self.cfg.mesh:
+                import jax
+                mesh_n = len(jax.devices())
+            if mesh_n > 1:
+                from ..parallel.sharded_index import build_index_mesh
+                self.idx = build_index_mesh(self.db, self.cfg)
+            else:
+                self.idx = build_index(self.db, self.cfg)
             self.idx.save(prefix, level=level)
-            log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs)",
-                     len(self.idx.x), len(self.idx.mc_hash), time.time() - t0)
+            log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs%s)",
+                     len(self.idx.x), len(self.idx.mc_hash), time.time() - t0,
+                     f"; mesh of {mesh_n}" if mesh_n > 1 else "")
         return self.idx
 
     # --- stage 2: overlaps ---------------------------------------------

@@ -81,7 +81,9 @@ def test_hybrid_overlap_matches_host(rng):
     db = SeqDB.from_reads(reads)
     idx = build_index(db, cfg)
 
-    host = overlap_all(db, idx, cfg, n_chunks=4, n_workers=2)
+    # dedup=False: compare the legacy hash-chunked path like-for-like
+    # (hybrid pulls the same per-chunk work units)
+    host = overlap_all(db, idx, cfg, n_chunks=4, n_workers=2, dedup=False)
     hyb = overlap_all_hybrid(db, idx, cfg, n_chunks=4, n_host_workers=2)
 
     def pairs(recs):
