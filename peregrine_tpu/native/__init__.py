@@ -136,8 +136,10 @@ _lib.overlap_replay_c.argtypes = [
     ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ck_a, ck_b, cvals
     ctypes.c_int64,                                      # n_cache
-    ctypes.POINTER(ctypes.c_void_p), _i64p, _i64p]
+    ctypes.POINTER(ctypes.c_void_p), _i64p, _i64p,
+    ctypes.POINTER(ctypes.c_void_p)]                     # miss_reqs|NULL
 _lib.free_ovlp_recs_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
+_lib.free_spec_reqs2_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
 
 
 def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
@@ -145,13 +147,17 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
                    db_data: np.ndarray, offsets: np.ndarray,
                    lengths: np.ndarray, bestn: int, fuzz: int, min_aln: int,
                    band: int, ck_a: np.ndarray, ck_b: np.ndarray,
-                   cvals: np.ndarray):
+                   cvals: np.ndarray, collect_misses: bool = False):
     """Native sequential overlap accept loop (overlap_replay.cpp); returns
-    (raw record bytes, n_records, n_cache_misses).  cvals is an int32
-    [n, 8] matrix of cached alignment results in OvlpMatch field order
-    (m_size, dist, q_bgn, q_end, t_bgn, t_end, t_m_end, q_m_end), sorted
-    with (ck_a, ck_b).  The caller parses the record bytes with
-    ops.overlap.OVLP_DTYPE (kept out of here to avoid a circular import)."""
+    (raw record bytes, n_records, n_cache_misses[, miss_requests]).
+    cvals is an int32 [n, 8] matrix of cached alignment results in
+    OvlpMatch field order (m_size, dist, q_bgn, q_end, t_bgn, t_end,
+    t_m_end, q_m_end), sorted with (ck_a, ck_b).  With collect_misses,
+    cache misses are returned as a SPEC_REQ_DTYPE array (treated as
+    rejects in THIS pass) instead of aligning inline — the iterative
+    driver in ops.overlap.overlap_all_spec.  The caller parses the record
+    bytes with ops.overlap.OVLP_DTYPE (kept out of here to avoid a
+    circular import)."""
     def p(a, dtype):
         a = np.ascontiguousarray(a, dtype)
         return a, a.ctypes.data_as(ctypes.c_void_p)
@@ -170,16 +176,28 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     out = ctypes.c_void_p()
     n_out = ctypes.c_int64()
     n_miss = ctypes.c_int64()
+    mreqs = ctypes.c_void_p()
     _lib.overlap_replay_c(ysp, dirsp, posp, bsp, bep, len(bstart),
                           dbp, offp, lenp, bestn, fuzz, min_aln, band,
                           kap, kbp, cvp, len(ck_a),
                           ctypes.byref(out), ctypes.byref(n_out),
-                          ctypes.byref(n_miss))
+                          ctypes.byref(n_miss),
+                          ctypes.byref(mreqs) if collect_misses else None)
     try:
         raw = ctypes.string_at(out.value, n_out.value * _REC_SIZE) \
             if out.value and n_out.value else b""
+        if collect_misses:
+            mraw = ctypes.string_at(
+                mreqs.value, n_miss.value * SPEC_REQ_DTYPE.itemsize) \
+                if mreqs.value and n_miss.value else b""
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
+        if collect_misses:
+            _lib.free_spec_reqs2_c(ctypes.byref(mreqs))
+    if collect_misses:
+        miss_arr = (np.frombuffer(mraw, SPEC_REQ_DTYPE).copy() if mraw
+                    else np.zeros(0, SPEC_REQ_DTYPE))
+        return raw, int(n_out.value), int(n_miss.value), miss_arr
     return raw, int(n_out.value), int(n_miss.value)
 
 

@@ -48,6 +48,11 @@ struct OvlpRec {
 namespace {
 
 constexpr int kOverlap = 0, kContains = 1, kContained = 2;
+// collect-mode only: pair's alignment was harvested as a miss request;
+// optimistically assumed to be an accepted OVERLAP for the rest of the
+// pass (the majority outcome), which keeps the pass's bestn dynamics close
+// to the true replay's so later rounds collect few corrections
+constexpr int kPending = 3;
 
 struct Cache {
   const uint64_t *ka, *kb;
@@ -72,9 +77,27 @@ struct Cache {
 
 extern "C" {
 
+#pragma pack(push, 1)
+// matches native SPEC_REQ_DTYPE (20-byte packed request rows)
+struct SpecReq {
+  uint32_t rid0, rid1;
+  int32_t pos0, pos1;
+  uint8_t s0, s1;
+  uint16_t pad;
+};
+#pragma pack(pop)
+
 // One hash shard's replay.  ys/dirs/pos are the bucket stream already
 // sorted (bucket-major, descending position within bucket) by the caller;
 // buckets are [bstart[i], bend[i]).  Returns a malloc'd OvlpRec array.
+//
+// collect mode (miss_reqs != nullptr): a cache miss is RECORDED as a
+// request and treated as a reject (no record, no state change) instead of
+// aligning inline — the driver aligns the collected requests in parallel
+// and re-runs the replay with the widened cache, iterating until the
+// final exact pass (ops.overlap.overlap_all_spec).  The final pass runs
+// with miss_reqs == nullptr, where misses align inline, so correctness
+// never depends on the collected set.
 void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       const int64_t *pos, const int64_t *bstart,
                       const int64_t *bend, int64_t n_buckets,
@@ -83,11 +106,13 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       int32_t min_aln, int32_t band, const uint64_t *ck_a,
                       const uint64_t *ck_b, const int32_t *cvals,
                       int64_t n_cache, OvlpRec **out_recs, int64_t *n_out,
-                      int64_t *n_miss) {
+                      int64_t *n_miss, SpecReq **miss_reqs) {
   Cache cache{ck_a, ck_b, cvals, n_cache};
   std::unordered_map<uint64_t, uint8_t> rid_pairs;
   std::vector<OvlpRec> out;
   std::vector<uint8_t> contained;
+  std::vector<SpecReq> collected;
+  const bool collect = miss_reqs != nullptr;
   int64_t misses = 0;
 
   for (int64_t bi = 0; bi < n_buckets; bi++) {
@@ -115,7 +140,8 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                                   : ((uint64_t)rid1 << 32) | (uint64_t)rid0;
         auto prev = rid_pairs.find(ridp);
         if (prev != rid_pairs.end()) {
-          if (prev->second == kOverlap) overlap_count++;
+          if (prev->second == kOverlap || prev->second == kPending)
+            overlap_count++;
           continue;
         }
         const int64_t pos1 = pos[s + ci] + 1;
@@ -140,6 +166,16 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
           t_end = v[5];
           t_m_end = v[6];
           q_m_end = v[7];
+        } else if (collect) {
+          misses++;
+          collected.push_back(SpecReq{(uint32_t)rid0, (uint32_t)rid1,
+                                      (int32_t)pos0, (int32_t)pos1, strand0,
+                                      strand1, 0});
+          // assumed accepted-OVERLAP for this pass; kPending stops the
+          // pair from being re-collected at every later occurrence
+          rid_pairs[ridp] = kPending;
+          overlap_count++;
+          continue;
         } else {
           misses++;
           OvlpMatch m;
@@ -206,6 +242,16 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
   *n_miss = misses;
   *out_recs = (OvlpRec *)std::malloc(out.size() * sizeof(OvlpRec));
   std::memcpy(*out_recs, out.data(), out.size() * sizeof(OvlpRec));
+  if (collect) {
+    *miss_reqs = (SpecReq *)std::malloc(collected.size() * sizeof(SpecReq));
+    std::memcpy(*miss_reqs, collected.data(),
+                collected.size() * sizeof(SpecReq));
+  }
+}
+
+void free_spec_reqs2_c(SpecReq **r) {
+  std::free(*r);
+  *r = nullptr;
 }
 
 void free_ovlp_recs_c(OvlpRec **r) {

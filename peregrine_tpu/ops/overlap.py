@@ -363,70 +363,139 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
 
 
-def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
-                     n_workers: int | None = None, window: int = 12,
-                     per_pair: int = 2, pairs=None) -> np.ndarray:
-    """Globally-deduplicated parallel overlap detection.
-
-    The scaling scheme that replaces hash chunking: enumerate each rid
-    pair's first `per_pair` candidate occurrences in the GLOBAL replay
-    order (native spec_enum), align them on all host cores (align_spec —
-    GIL-releasing threads over disjoint slices of one request array), then
-    run the exact sequential accept replay against the sorted result
-    cache.  Cache hits carry the full native OvlpMatch, so the output is
-    **byte-identical to the 1-chunk run at any worker count** — unlike the
-    reference, where every shmr_overlap process keeps a private RPAIR
-    table (src/shmr_overlap.c:101-107) and 55-80% of each added chunk's
-    alignment work is duplicated (BENCH.md).  Replay misses (occurrence
-    shifted past the speculation window by containment kills / bestn
-    breaks) fall back to the inline native aligner.
-    """
-    import concurrent.futures as cf
-    import os as _os
-
-    from ..native import align_spec, spec_enum
-
-    if n_workers is None:
-        n_workers = _os.cpu_count() or 1
-    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
-        idx, db.lengths, 1, 1,
-        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
-    sys_, sdirs, spos, sbs, sbe, _ = _bucket_stream(key0, key1, y0a, dira,
-                                                    cfg.ovlp_upper)
-    reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
-    n = len(reqs)
-    res = np.zeros((max(n, 1), 8), np.int32)
-    db_data = np.ascontiguousarray(db.data, np.uint8) \
-        if not db.data.flags.c_contiguous else db.data
-    if n:
-        # fine-grained slices smooth the variable per-alignment cost
-        step = max(1024, n // (8 * n_workers) + 1)
-        slices = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
-        if n_workers > 1 and len(slices) > 1:
-            with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
-                futs = [ex.submit(align_spec, reqs, lo, hi, db_data,
-                                  db.offsets, db.lengths, cfg.aln_bw, res)
-                        for lo, hi in slices]
-                for f in futs:
-                    f.result()
-        else:
-            align_spec(reqs, 0, n, db_data, db.offsets, db.lengths,
-                       cfg.aln_bw, res)
+def _req_keys(reqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ka = ((reqs["rid0"].astype(np.uint64) << np.uint64(33))
           | (reqs["pos0"].astype(np.uint64) << np.uint64(1))
           | reqs["strand0"].astype(np.uint64))
     kb = ((reqs["rid1"].astype(np.uint64) << np.uint64(33))
           | (reqs["pos1"].astype(np.uint64) << np.uint64(1))
           | reqs["strand1"].astype(np.uint64))
-    o = np.lexsort((kb, ka))
-    recs, miss = overlap_chunk_native(
-        db, idx, cfg, stream=(sys_, sdirs, spos, sbs, sbe),
-        cache=(ka[o], kb[o], res[:n][o]))
+    return ka, kb
+
+
+def _align_parallel(reqs: np.ndarray, db: SeqDB, db_data: np.ndarray,
+                    band: int, n_workers: int) -> np.ndarray:
+    """Align one request array on all host cores (native align_spec over
+    disjoint slices; ctypes releases the GIL)."""
+    import concurrent.futures as cf
+
+    from ..native import align_spec
+
+    n = len(reqs)
+    res = np.zeros((max(n, 1), 8), np.int32)
+    if not n:
+        return res
+    # fine-grained slices smooth the variable per-alignment cost
+    step = max(1024, n // (8 * n_workers) + 1)
+    slices = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    if n_workers > 1 and len(slices) > 1:
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = [ex.submit(align_spec, reqs, lo, hi, db_data,
+                              db.offsets, db.lengths, band, res)
+                    for lo, hi in slices]
+            for f in futs:
+                f.result()
+    else:
+        align_spec(reqs, 0, n, db_data, db.offsets, db.lengths, band, res)
+    return res[:n]
+
+
+def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
+                     n_workers: int | None = None, window: int = 0,
+                     per_pair: int = 1, pairs=None,
+                     max_rounds: int = 8) -> np.ndarray:
+    """Globally-deduplicated parallel overlap detection.
+
+    The scaling scheme that replaces hash chunking: discover the accept
+    loop's alignment points by ITERATION — a collect-mode replay walks the
+    exact sequential accept semantics but, on a cache miss, records the
+    request and optimistically assumes an accepted OVERLAP (the majority
+    outcome); the collected requests are aligned on all host cores (native
+    align_spec, GIL-releasing threads over slices of one request array)
+    and the replay re-runs with the widened full-fidelity cache until it
+    converges.  The final pass runs exact (misses align inline), so
+    correctness never depends on the iteration: the output is
+    **byte-identical to the 1-chunk run at any worker count** — unlike
+    the reference, where every shmr_overlap process keeps a private RPAIR
+    table (src/shmr_overlap.c:101-107) and 55-80% of each added chunk's
+    alignment work is duplicated (BENCH.md).
+
+    Measured at yeast scale (BENCH.md): 517k total alignments vs 550k for
+    the sequential 1-chunk run and 691k/1.66M for 2/8 legacy hash chunks;
+    a window>0 pre-seeds the cache with spec_enum requests, measured
+    strictly worse (689k at window=8) — kept for experimentation.
+    """
     import logging
-    logging.getLogger("peregrine_tpu").info(
-        "overlap dedup: %d speculative alignments on %d workers, "
-        "%d replay misses", n, n_workers, miss)
+    import os as _os
+
+    from ..native import spec_enum
+
+    log2 = logging.getLogger("peregrine_tpu")
+    if n_workers is None:
+        n_workers = _os.cpu_count() or 1
+    key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
+        idx, db.lengths, 1, 1,
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    stream = _bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper)
+    sys_, sdirs, spos, sbs, sbe, _ = stream
+    db_data = np.ascontiguousarray(db.data, np.uint8) \
+        if not db.data.flags.c_contiguous else db.data
+
+    if window > 0:
+        reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
+        res = _align_parallel(reqs, db, db_data, cfg.aln_bw, n_workers)
+        ka, kb = _req_keys(reqs)
+        o = np.lexsort((kb, ka))
+        ka, kb, res = ka[o], kb[o], res[o]
+        total_aligned = len(reqs)
+    else:  # empty seed: round 1's collect pass IS the speculation
+        ka = np.zeros(0, np.uint64)
+        kb = np.zeros(0, np.uint64)
+        res = np.zeros((0, 8), np.int32)
+        total_aligned = 0
+
+    # iterative miss harvest: collect -> parallel align -> merge -> re-run
+    for rnd in range(max_rounds):
+        _, _, miss, missreqs = _replay(db, cfg, stream, (ka, kb, res),
+                                       db_data, collect=True)
+        if miss == 0:
+            break
+        mres = _align_parallel(missreqs, db, db_data, cfg.aln_bw, n_workers)
+        mka, mkb = _req_keys(missreqs)
+        ka = np.concatenate([ka, mka])
+        kb = np.concatenate([kb, mkb])
+        res = np.concatenate([res, mres])
+        o = np.lexsort((kb, ka))
+        ka, kb, res = ka[o], kb[o], res[o]
+        # exact-duplicate keys (same request re-collected from another
+        # bucket) would make the binary search ambiguous — keep the first
+        dup = np.zeros(len(ka), bool)
+        dup[1:] = (ka[1:] == ka[:-1]) & (kb[1:] == kb[:-1])
+        if dup.any():
+            ka, kb, res = ka[~dup], kb[~dup], res[~dup]
+        total_aligned += miss
+        log2.info("overlap dedup round %d: %d misses harvested", rnd + 1,
+                  miss)
+
+    recs, miss = overlap_chunk_native(db, idx, cfg, stream=stream[:5],
+                                      cache=(ka, kb, res))
+    total_aligned += miss
+    log2.info("overlap dedup: %d alignments total on %d workers "
+              "(%d inline in the final pass)", total_aligned, n_workers,
+              miss)
     return recs
+
+
+def _replay(db: SeqDB, cfg: AsmConfig, stream, cache, db_data,
+            collect: bool):
+    """Raw replay invocation (collect or exact) against a prepared
+    stream + cache."""
+    from ..native import overlap_replay
+    sys_, sdirs, spos, sbs, sbe = stream[:5]
+    return overlap_replay(
+        sys_, sdirs, spos, sbs, sbe, db_data, db.offsets, db.lengths,
+        cfg.best_n_ovlp, cfg.read_end_fuzz, cfg.min_ovlp_aln, cfg.aln_bw,
+        *cache, collect_misses=collect)
 
 
 def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,

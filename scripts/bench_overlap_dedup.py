@@ -47,19 +47,30 @@ def main():
                                            overlap_chunk_native)
     from simdata import random_genome, simulate_reads
 
-    rng = np.random.default_rng(42)
-    genome = random_genome(rng, int(args.genome_mb * 1e6))
-    reads, _ = simulate_reads(rng, genome, read_len=args.read_len,
-                              coverage=args.coverage,
-                              len_sd=args.read_len // 10,
-                              error=0.01, circular_wrap=40000)
-    print(f"{len(reads)} reads, "
-          f"{sum(len(s) for _, s in reads) / 1e6:.0f} Mbases", flush=True)
-    db = SeqDB.from_reads(reads)
     cfg = AsmConfig(sketch_pad_len=32768, sketch_batch=256)
-    t0 = time.time()
-    idx = build_index(db, cfg)
-    print(f"index: {time.time() - t0:.1f}s", flush=True)
+    from peregrine_tpu.ops.index import ShimmerIndex
+    wd = f"/tmp/dedup_bench_{args.genome_mb:g}mb_{args.coverage:g}x"
+    if os.path.exists(wd + "/seq.idx"):
+        print(f"reusing cached dataset {wd}", flush=True)
+        db = SeqDB.open(wd + "/seq")
+        idx = ShimmerIndex.load_chunks([wd + "/shmr-L2-01-of-01.dat"],
+                                       [wd + "/shmr-L2-MC-01-of-01.dat"])
+    else:
+        rng = np.random.default_rng(42)
+        genome = random_genome(rng, int(args.genome_mb * 1e6))
+        reads, _ = simulate_reads(rng, genome, read_len=args.read_len,
+                                  coverage=args.coverage,
+                                  len_sd=args.read_len // 10,
+                                  error=0.01, circular_wrap=40000)
+        print(f"{len(reads)} reads, "
+              f"{sum(len(s) for _, s in reads) / 1e6:.0f} Mbases", flush=True)
+        db = SeqDB.from_reads(reads)
+        t0 = time.time()
+        idx = build_index(db, cfg)
+        print(f"index: {time.time() - t0:.1f}s", flush=True)
+        os.makedirs(wd, exist_ok=True)
+        db.save(wd + "/seq")
+        idx.save(wd + "/shmr", level=2)
 
     t0 = time.time()
     base, _ = overlap_chunk_native(db, idx, cfg)
@@ -75,7 +86,7 @@ def main():
 
     pairs = build_pairs(idx, db.lengths, 1, 1, cfg.mc_lower, cfg.mc_upper,
                         cfg.min_anchor_dist)
-    for window, per_pair in ((8, 1), (12, 1), (12, 2), (16, 2), (16, 3)):
+    for window, per_pair in ((8, 1), (12, 1), (6, 1)):
         t0 = time.time()
         got = overlap_all_spec(db, idx, cfg, n_workers=W, window=window,
                                per_pair=per_pair, pairs=pairs)
