@@ -25,7 +25,8 @@ from peregrine_tpu.io.seqdb import read_fastx, revcomp
 from peregrine_tpu.pipeline.run import Assembly
 from tests.simdata import random_genome, simulate_reads
 
-REF_BUILD = os.path.join(os.path.dirname(__file__), "..", ".ref_build")
+from tests.refbuild import REF_BUILD, ensure_ref_build
+
 RSCRIPTS = "/root/reference/py/scripts"
 
 
@@ -56,8 +57,9 @@ def test_exact_substring_circular_acceptance(tmp_path, rng):
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    not os.path.exists(os.path.join(REF_BUILD, "shmr_mkseqdb")),
-    reason="reference binaries not built (scripts/build_reference.sh)")
+    ensure_ref_build(with_py=True) is None,
+    reason="reference tree unavailable (auto-build failed; "
+           "see scripts/build_reference.sh)")
 def test_reference_h2h_draft_identity(tmp_path, rng):
     """Identical reads through the reference pipeline (C binaries + its
     own graph scripts) and ours; mutual draft identity >= 99.9%

@@ -14,11 +14,12 @@ from peregrine_tpu.ops.index import build_index
 from peregrine_tpu.ops.overlap import overlap_chunk
 from tests.simdata import random_genome, simulate_reads
 
-REF_BUILD = os.path.join(os.path.dirname(__file__), "..", ".ref_build")
+from tests.refbuild import REF_BUILD, ensure_ref_build
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(REF_BUILD, "shmr_index")),
-    reason="reference binaries not built (scripts/build_reference.sh)")
+    ensure_ref_build() is None,
+    reason="reference tree unavailable (auto-build failed; "
+           "see scripts/build_reference.sh)")
 
 
 @pytest.fixture
