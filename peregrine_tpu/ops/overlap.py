@@ -374,7 +374,8 @@ def _req_keys(reqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _align_parallel(reqs: np.ndarray, db: SeqDB, db_data: np.ndarray,
-                    band: int, n_workers: int) -> np.ndarray:
+                    band: int, n_workers: int,
+                    slices=None) -> np.ndarray:
     """Align one request array on all host cores (native align_spec over
     disjoint slices; ctypes releases the GIL)."""
     import concurrent.futures as cf
@@ -384,10 +385,11 @@ def _align_parallel(reqs: np.ndarray, db: SeqDB, db_data: np.ndarray,
     n = len(reqs)
     res = np.zeros((max(n, 1), 8), np.int32)
     if not n:
-        return res
-    # fine-grained slices smooth the variable per-alignment cost
-    step = max(1024, n // (8 * n_workers) + 1)
-    slices = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        return res[:n]
+    if slices is None:
+        # fine-grained slices smooth the variable per-alignment cost
+        step = max(1024, n // (8 * n_workers) + 1)
+        slices = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
     if n_workers > 1 and len(slices) > 1:
         with cf.ThreadPoolExecutor(max_workers=n_workers) as ex:
             futs = [ex.submit(align_spec, reqs, lo, hi, db_data,
@@ -396,14 +398,148 @@ def _align_parallel(reqs: np.ndarray, db: SeqDB, db_data: np.ndarray,
             for f in futs:
                 f.result()
     else:
-        align_spec(reqs, 0, n, db_data, db.offsets, db.lengths, band, res)
+        for lo, hi in slices:
+            align_spec(reqs, lo, hi, db_data, db.offsets, db.lengths,
+                       band, res)
     return res[:n]
+
+
+def _device_fill(res: np.ndarray, part: np.ndarray, d, qe, te) -> None:
+    """Expand the device kernel's (dist, q_end, t_end) into the 8
+    OvlpMatch fields the replay cache carries (same derivation the
+    3-field cache hit used to compute inline)."""
+    d64 = np.asarray(d, np.int64)
+    qe64 = np.asarray(qe, np.int64)
+    te64 = np.asarray(te, np.int64)
+    res[part, 0] = ((qe64 + te64 + 2 * d64) // 2).astype(np.int32)
+    res[part, 1] = d64.astype(np.int32)
+    res[part, 3] = qe64.astype(np.int32)   # q_bgn/t_bgn stay 0
+    res[part, 5] = te64.astype(np.int32)
+    res[part, 6] = te64.astype(np.int32)
+    res[part, 7] = qe64.astype(np.int32)
+
+
+def _align_device(reqs: np.ndarray, db: SeqDB, cfg: AsmConfig, seqdb_dev,
+                  batch: int) -> tuple[np.ndarray, np.ndarray]:
+    """Align one request array with the device Myers kernel against the
+    HBM-resident seqdb; returns (res [n,8], have mask).  Requests longer
+    than aln_max_len (or failed batches) stay un-cached and fall to the
+    final pass's native aligner."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_align import myers_batch_db_packed
+
+    n = len(reqs)
+    res = np.zeros((max(n, 1), 8), np.int32)
+    have = np.zeros(max(n, 1), bool)
+    if not n:
+        return res[:n], have[:n]
+    r0 = reqs["rid0"].astype(np.int64)
+    r1 = reqs["rid1"].astype(np.int64)
+    shift = reqs["pos0"].astype(np.int64) - reqs["pos1"].astype(np.int64)
+    qr = db.offsets[r0]
+    qo = qr + shift
+    ql = db.lengths[r0] - shift
+    to = db.offsets[r1]
+    tl = db.lengths[r1]
+    mlen = np.maximum(np.maximum(ql, tl), 1024)
+    in_cap = mlen <= cfg.aln_max_len
+    pad_class = (-(-mlen // 8192) * 8192).astype(np.int64)
+    unroll = 32 if jax.default_backend() not in ("cpu",) else 1
+    handles = []
+    for pad in np.unique(pad_class[in_cap]):
+        idxs = np.flatnonzero(in_cap & (pad_class == pad))
+        for i in range(0, len(idxs), batch):
+            part = idxs[i:i + batch]
+            cols = np.zeros((batch, 7), np.int64)
+            m = len(part)
+            cols[:m, 0] = qo[part]
+            cols[:m, 1] = qr[part]
+            cols[:m, 2] = ql[part]
+            cols[:m, 3] = reqs["strand0"][part]
+            cols[:m, 4] = to[part]
+            cols[:m, 5] = tl[part]
+            cols[:m, 6] = reqs["strand1"][part]
+            try:
+                h = myers_batch_db_packed(seqdb_dev, jnp.asarray(cols),
+                                          L=int(pad), nb=8, unroll=unroll)
+            except Exception:
+                h = None  # final pass aligns these natively
+            handles.append((part, h))
+    live = [(p, h) for p, h in handles if h is not None]
+    try:
+        fetched = jax.device_get([h for _, h in live])
+    except Exception:
+        fetched = []
+        for p, h in live:
+            try:
+                fetched.append(jax.device_get(h))
+            except Exception:
+                fetched.append(None)
+    for (part, _), got in zip(live, fetched):
+        if got is None:
+            continue
+        m = len(part)
+        _device_fill(res, part, got[0][:m], got[1][:m], got[2][:m])
+        have[part] = True
+    return res[:n], have[:n]
+
+
+def _align_hybrid(reqs: np.ndarray, db: SeqDB, db_data: np.ndarray,
+                  cfg: AsmConfig, seqdb_dev, batch: int,
+                  n_host: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host threads and a device thread pull slices of ONE request array
+    from a shared queue — the chunk-free hybrid (the old chunked hybrid
+    needed extra chunks whose work was duplicated, BENCH.md)."""
+    import concurrent.futures as cf
+    import queue
+
+    n = len(reqs)
+    res = np.zeros((max(n, 1), 8), np.int32)
+    have = np.zeros(max(n, 1), bool)
+    if not n:
+        return res[:n], have[:n]
+    step = max(batch, n // 16 + 1)
+    work: queue.SimpleQueue = queue.SimpleQueue()
+    for lo in range(0, n, step):
+        work.put((lo, min(lo + step, n)))
+
+    from ..native import align_spec
+
+    def host_drain():
+        while True:
+            try:
+                lo, hi = work.get_nowait()
+            except queue.Empty:
+                return
+            align_spec(reqs, lo, hi, db_data, db.offsets, db.lengths,
+                       cfg.aln_bw, res)
+            have[lo:hi] = True
+
+    def dev_drain():
+        while True:
+            try:
+                lo, hi = work.get_nowait()
+            except queue.Empty:
+                return
+            r, h = _align_device(reqs[lo:hi], db, cfg, seqdb_dev, batch)
+            res[lo:hi][h] = r[h]
+            have[lo:hi] = h
+
+    with cf.ThreadPoolExecutor(max_workers=n_host + 1) as ex:
+        futs = [ex.submit(dev_drain)]
+        futs += [ex.submit(host_drain) for _ in range(n_host)]
+        for f in futs:
+            f.result()
+    return res[:n], have[:n]
 
 
 def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                      n_workers: int | None = None, window: int = 0,
                      per_pair: int = 1, pairs=None,
-                     max_rounds: int = 8) -> np.ndarray:
+                     max_rounds: int = 8, backend: str = "host",
+                     seqdb_dev=None) -> np.ndarray:
     """Globally-deduplicated parallel overlap detection.
 
     The scaling scheme that replaces hash chunking: discover the accept
@@ -424,6 +560,14 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     the sequential 1-chunk run and 691k/1.66M for 2/8 legacy hash chunks;
     a window>0 pre-seeds the cache with spec_enum requests, measured
     strictly worse (689k at window=8) — kept for experimentation.
+
+    backend selects who aligns the harvested requests: "host" (native
+    O(ND) threads), "device" (batched Myers against the HBM-resident
+    seqdb; dist/endpoint semantics per ops.device_align), or "hybrid"
+    (host threads + a device thread pulling slices of one request array —
+    no extra chunks, so no duplicated work, fixing the old hybrid's
+    measured flaw).  Whatever the backend cannot align falls to the final
+    exact pass's native aligner.
     """
     import logging
     import os as _os
@@ -441,30 +585,24 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     db_data = np.ascontiguousarray(db.data, np.uint8) \
         if not db.data.flags.c_contiguous else db.data
 
-    if window > 0:
-        reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
-        res = _align_parallel(reqs, db, db_data, cfg.aln_bw, n_workers)
-        ka, kb = _req_keys(reqs)
-        o = np.lexsort((kb, ka))
-        ka, kb, res = ka[o], kb[o], res[o]
-        total_aligned = len(reqs)
-    else:  # empty seed: round 1's collect pass IS the speculation
-        ka = np.zeros(0, np.uint64)
-        kb = np.zeros(0, np.uint64)
-        res = np.zeros((0, 8), np.int32)
-        total_aligned = 0
+    if backend in ("device", "hybrid") and seqdb_dev is None:
+        from .dbgather import upload_seqdb
+        seqdb_dev = upload_seqdb(db.data)
 
-    # iterative miss harvest: collect -> parallel align -> merge -> re-run
-    for rnd in range(max_rounds):
-        _, _, miss, missreqs = _replay(db, cfg, stream, (ka, kb, res),
-                                       db_data, collect=True)
-        if miss == 0:
-            break
-        mres = _align_parallel(missreqs, db, db_data, cfg.aln_bw, n_workers)
-        mka, mkb = _req_keys(missreqs)
-        ka = np.concatenate([ka, mka])
-        kb = np.concatenate([kb, mkb])
-        res = np.concatenate([res, mres])
+    def align_round(rr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if backend == "device":
+            return _align_device(rr, db, cfg, seqdb_dev, cfg.aln_batch)
+        if backend == "hybrid":
+            return _align_hybrid(rr, db, db_data, cfg, seqdb_dev,
+                                 cfg.aln_batch, n_workers)
+        return (_align_parallel(rr, db, db_data, cfg.aln_bw, n_workers),
+                np.ones(len(rr), bool))
+
+    def merge(ka, kb, res, rr, rres, rhave):
+        mka, mkb = _req_keys(rr)
+        ka = np.concatenate([ka, mka[rhave]])
+        kb = np.concatenate([kb, mkb[rhave]])
+        res = np.concatenate([res, rres[rhave]])
         o = np.lexsort((kb, ka))
         ka, kb, res = ka[o], kb[o], res[o]
         # exact-duplicate keys (same request re-collected from another
@@ -473,16 +611,61 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         dup[1:] = (ka[1:] == ka[:-1]) & (kb[1:] == kb[:-1])
         if dup.any():
             ka, kb, res = ka[~dup], kb[~dup], res[~dup]
-        total_aligned += miss
+        return ka, kb, res
+
+    ka = np.zeros(0, np.uint64)
+    kb = np.zeros(0, np.uint64)
+    res = np.zeros((0, 8), np.int32)
+    # a collected miss is by definition not in the cache, so the only keys
+    # that could be re-collected forever are ones the backend FAILED to
+    # align (ultra-long lanes, failed batches) — track just those
+    failed: set[tuple[int, int]] = set()
+    total_aligned = 0
+    if window > 0:  # optional spec_enum pre-seed (measured worse; kept)
+        reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
+        rres, rhave = align_round(reqs)
+        ka, kb, res = merge(ka, kb, res, reqs, rres, rhave)
+        if not rhave.all():
+            pka, pkb = _req_keys(reqs)
+            failed.update(zip(pka[~rhave].tolist(), pkb[~rhave].tolist()))
+        total_aligned += int(rhave.sum())
+
+    # iterative miss harvest: collect -> parallel align -> merge -> re-run
+    for rnd in range(max_rounds):
+        _, _, miss, missreqs = _replay(db, cfg, stream, (ka, kb, res),
+                                       db_data, collect=True)
+        if miss == 0:
+            break
+        if rnd > 0 and miss < max(5000, total_aligned // 50):
+            # tail harvests cost a full replay pass each (~13 s at
+            # Drosophila scale) to collect work the final pass can align
+            # inline in a fraction of that — stop iterating
+            log2.info("overlap dedup: %d residual misses left to the "
+                      "final pass", miss)
+            break
+        if failed:
+            mka, mkb = _req_keys(missreqs)
+            new = np.fromiter((k not in failed for k in
+                               zip(mka.tolist(), mkb.tolist())),
+                              bool, len(missreqs))
+            if not new.any():
+                break  # only backend-unalignable requests remain
+            missreqs = missreqs[new]
+        rres, rhave = align_round(missreqs)
+        ka, kb, res = merge(ka, kb, res, missreqs, rres, rhave)
+        if not rhave.all():
+            mka, mkb = _req_keys(missreqs)
+            failed.update(zip(mka[~rhave].tolist(), mkb[~rhave].tolist()))
+        total_aligned += int(rhave.sum())
         log2.info("overlap dedup round %d: %d misses harvested", rnd + 1,
-                  miss)
+                  len(missreqs))
 
     recs, miss = overlap_chunk_native(db, idx, cfg, stream=stream[:5],
                                       cache=(ka, kb, res))
     total_aligned += miss
-    log2.info("overlap dedup: %d alignments total on %d workers "
-              "(%d inline in the final pass)", total_aligned, n_workers,
-              miss)
+    log2.info("overlap dedup [%s]: %d alignments total on %d workers "
+              "(%d inline in the final pass)", backend, total_aligned,
+              n_workers, miss)
     return recs
 
 

@@ -173,7 +173,16 @@ class Assembly:
         path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
         if not _stage_done(path):
             t0 = time.time()
-            if self.cfg.hybrid_overlap:
+            dedup = self.cfg.dedup_overlap
+            if self.cfg.hybrid_overlap and dedup:
+                # chunk-free hybrid: host threads + a device thread pull
+                # slices of ONE globally-deduplicated request array
+                from ..ops.overlap import overlap_all_spec
+                ovlps = overlap_all_spec(
+                    self.db, self.idx, self.cfg,
+                    n_workers=n_workers or (os.cpu_count() or 1),
+                    backend="hybrid")
+            elif self.cfg.hybrid_overlap:
                 import jax
                 from ..ops.overlap import overlap_all_hybrid
                 if jax.default_backend() == "cpu":
@@ -187,6 +196,12 @@ class Assembly:
                     self.db, self.idx, self.cfg,
                     n_chunks=n_chunks or (n_workers + 1),
                     n_host_workers=n_workers)
+            elif self.cfg.use_device_aligner and dedup \
+                    and not self.cfg.shard_overlap:
+                from ..ops.overlap import overlap_all_spec
+                ovlps = overlap_all_spec(self.db, self.idx, self.cfg,
+                                         n_workers=n_workers,
+                                         backend="device")
             elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
                 if n_chunks or n_workers:

@@ -93,3 +93,39 @@ def test_hybrid_overlap_matches_host(rng):
     hp, yp = pairs(host), pairs(hyb)
     jac = len(hp & yp) / max(len(hp | yp), 1)
     assert jac > 0.95, (len(hp), len(yp), jac)
+
+
+def test_overlap_all_spec_device_backend(rng):
+    """overlap_all_spec(backend='device'/'hybrid') agrees with the host
+    backend at pair level (dist/endpoint semantics differ per
+    ops/device_align.py docstring), and both are deterministic."""
+    import numpy as np
+
+    from peregrine_tpu.ops.index import build_index
+    from peregrine_tpu.ops.overlap import overlap_all_spec
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_ovlp_aln=300,
+                    sketch_pad_len=8192, sketch_batch=16, aln_batch=64,
+                    aln_max_len=8192)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=12.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+
+    host = overlap_all_spec(db, idx, cfg, n_workers=2, backend="host")
+    dev = overlap_all_spec(db, idx, cfg, n_workers=2, backend="device")
+    dev2 = overlap_all_spec(db, idx, cfg, n_workers=2, backend="device")
+    hyb = overlap_all_spec(db, idx, cfg, n_workers=2, backend="hybrid")
+
+    def pairs(recs):
+        return {tuple(sorted((int(o["y0"] >> np.uint64(32)),
+                              int(o["y1"] >> np.uint64(32))))) for o in recs}
+
+    hp, dp, yp = pairs(host), pairs(dev), pairs(hyb)
+    assert len(hp) > 30
+    assert len(hp & dp) / max(len(hp | dp), 1) > 0.9
+    assert len(hp & yp) / max(len(hp | yp), 1) > 0.9
+    # device backend is deterministic run to run
+    np.testing.assert_array_equal(
+        dev.view(np.uint8).reshape(len(dev), -1),
+        dev2.view(np.uint8).reshape(len(dev2), -1))
