@@ -43,6 +43,22 @@ def index_step_db(seqdb_rows, offsets, lengths, rids, *, L: int, w: int,
                       cap=cap, tight_out=tight_out)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("L", "w", "k", "r", "levels", "cap"))
+def index_step_db_meta(seqdb_rows, meta, *, L: int, w: int, k: int, r: int,
+                       levels: int, cap: int = 0):
+    """index_step_db with the per-batch (offset, length, rid) columns
+    packed into ONE [B, 3] int64 array: a single host->device transfer
+    per dispatch instead of three.  Through the remote tunnel each
+    device_put costs a round trip (measured 0.1-1.3 s/batch depending on
+    the service window), and the metadata transfers dominated the index
+    stage wall (BENCH.md round 2)."""
+    return index_step_db(seqdb_rows, meta[:, 0],
+                         meta[:, 1].astype(jnp.int32),
+                         meta[:, 2].astype(jnp.uint32),
+                         L=L, w=w, k=k, r=r, levels=levels, cap=cap)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap", "tight_out"))
 def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
                levels: int, cap: int = 0, tight_out: bool = True):
@@ -242,17 +258,14 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
             else:
                 npart = len(part)
                 bpad = bsz  # one batch shape per pad class: compile once
-                off = np.zeros(bpad, np.int64)
-                lens = np.zeros(bpad, np.int32)
-                rr = np.zeros(bpad, np.uint32)
-                off[:npart] = db.offsets[part]
-                lens[:npart] = db.lengths[part]
-                rr[:npart] = part
+                meta = np.zeros((bpad, 3), np.int64)
+                meta[:npart, 0] = db.offsets[part]
+                meta[:npart, 1] = db.lengths[part]
+                meta[:npart, 2] = part
                 cap = max(256, pad // 8)
-                handles = index_step_db(
-                    seqdb_rows, jnp.asarray(off), jnp.asarray(lens),
-                    jnp.asarray(rr), L=pad, w=cfg.w, k=cfg.k, r=cfg.r,
-                    levels=cfg.levels, cap=cap)
+                handles = index_step_db_meta(
+                    seqdb_rows, jnp.asarray(meta), L=pad, w=cfg.w,
+                    k=cfg.k, r=cfg.r, levels=cfg.levels, cap=cap)
             inflight.append((part, handles, pad))
     if keep_l0:
         for item in inflight:
