@@ -13,7 +13,6 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -47,31 +46,110 @@ struct OvlpRec {
 
 namespace {
 
+// Flat linear-probe hash maps: the std::unordered_map over ~6M rid pairs
+// and the per-candidate binary search over the sorted cache keys were the
+// dominant costs of a replay pass (~13 s at Drosophila scale per pass,
+// and the iterative dedup runs several passes).
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ULL;
+  x ^= x >> 33;
+  return x;
+}
+
+struct PairMap {  // u64 rid-pair -> u8 state
+  std::vector<uint64_t> keys;
+  std::vector<uint8_t> vals;
+  uint64_t mask = 0;
+  size_t n = 0;
+  static constexpr uint64_t kEmpty = ~0ULL;
+
+  void init(size_t expect) {
+    size_t s = 1024;
+    while (s < expect * 2) s <<= 1;
+    keys.assign(s, kEmpty);
+    vals.assign(s, 0);
+    mask = s - 1;
+    n = 0;
+  }
+  void grow() {
+    std::vector<uint64_t> ok(std::move(keys));
+    std::vector<uint8_t> ov(std::move(vals));
+    keys.assign(ok.size() * 2, kEmpty);
+    vals.assign(ok.size() * 2, 0);
+    mask = keys.size() - 1;
+    n = 0;
+    for (size_t i = 0; i < ok.size(); i++)
+      if (ok[i] != kEmpty) put(ok[i], ov[i]);
+  }
+  // returns pointer to value if present, else nullptr
+  uint8_t *find(uint64_t k) {
+    uint64_t i = mix64(k) & mask;
+    while (keys[i] != kEmpty) {
+      if (keys[i] == k) return &vals[i];
+      i = (i + 1) & mask;
+    }
+    return nullptr;
+  }
+  void put(uint64_t k, uint8_t v) {
+    if ((n + 1) * 2 > keys.size()) grow();
+    uint64_t i = mix64(k) & mask;
+    while (keys[i] != kEmpty) {
+      if (keys[i] == k) { vals[i] = v; return; }
+      i = (i + 1) & mask;
+    }
+    keys[i] = k;
+    vals[i] = v;
+    n++;
+  }
+};
+
+struct CacheMap {  // (u64, u64) key pair -> int32 row index
+  std::vector<uint64_t> ka, kb;
+  std::vector<int64_t> row;
+  uint64_t mask = 0;
+  static constexpr uint64_t kEmpty = ~0ULL;
+
+  void init(const uint64_t *a, const uint64_t *b, int64_t n) {
+    size_t s = 1024;
+    while ((int64_t)s < n * 2) s <<= 1;
+    ka.assign(s, kEmpty);
+    kb.assign(s, 0);
+    row.assign(s, -1);
+    mask = s - 1;
+    for (int64_t i = 0; i < n; i++) {
+      uint64_t h = (mix64(a[i]) ^ (mix64(b[i]) * 0x9e3779b97f4a7c15ULL))
+                   & mask;
+      while (ka[h] != kEmpty) {
+        if (ka[h] == a[i] && kb[h] == b[i]) break;  // dup key: keep first
+        h = (h + 1) & mask;
+      }
+      if (ka[h] == kEmpty) {
+        ka[h] = a[i];
+        kb[h] = b[i];
+        row[h] = i;
+      }
+    }
+  }
+  int64_t find(uint64_t a, uint64_t b) const {
+    if (mask == 0) return -1;
+    uint64_t h = (mix64(a) ^ (mix64(b) * 0x9e3779b97f4a7c15ULL)) & mask;
+    while (ka[h] != kEmpty) {
+      if (ka[h] == a && kb[h] == b) return row[h];
+      h = (h + 1) & mask;
+    }
+    return -1;
+  }
+};
+
 constexpr int kOverlap = 0, kContains = 1, kContained = 2;
 // collect-mode only: pair's alignment was harvested as a miss request;
 // optimistically assumed to be an accepted OVERLAP for the rest of the
 // pass (the majority outcome), which keeps the pass's bestn dynamics close
 // to the true replay's so later rounds collect few corrections
 constexpr int kPending = 3;
-
-struct Cache {
-  const uint64_t *ka, *kb;
-  const int32_t *vals;  // [n][8] rows in OvlpMatch field order
-  int64_t n;
-
-  // index of (a, b) in the (ka, kb)-sorted arrays, or -1
-  int64_t find(uint64_t a, uint64_t b) const {
-    int64_t lo = 0, hi = n;
-    while (lo < hi) {
-      int64_t mid = (lo + hi) >> 1;
-      if (ka[mid] < a || (ka[mid] == a && kb[mid] < b))
-        lo = mid + 1;
-      else
-        hi = mid;
-    }
-    return (lo < n && ka[lo] == a && kb[lo] == b) ? lo : -1;
-  }
-};
 
 }  // namespace
 
@@ -107,8 +185,10 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       const uint64_t *ck_b, const int32_t *cvals,
                       int64_t n_cache, OvlpRec **out_recs, int64_t *n_out,
                       int64_t *n_miss, SpecReq **miss_reqs) {
-  Cache cache{ck_a, ck_b, cvals, n_cache};
-  std::unordered_map<uint64_t, uint8_t> rid_pairs;
+  CacheMap cache;
+  cache.init(ck_a, ck_b, n_cache);
+  PairMap rid_pairs;
+  rid_pairs.init((size_t)std::max<int64_t>(n_cache, 4096));
   std::vector<OvlpRec> out;
   std::vector<uint8_t> contained;
   std::vector<SpecReq> collected;
@@ -138,10 +218,9 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
         const uint64_t ridp = rid0 < rid1
                                   ? ((uint64_t)rid0 << 32) | (uint64_t)rid1
                                   : ((uint64_t)rid1 << 32) | (uint64_t)rid0;
-        auto prev = rid_pairs.find(ridp);
-        if (prev != rid_pairs.end()) {
-          if (prev->second == kOverlap || prev->second == kPending)
-            overlap_count++;
+        const uint8_t *prev = rid_pairs.find(ridp);
+        if (prev) {
+          if (*prev == kOverlap || *prev == kPending) overlap_count++;
           continue;
         }
         const int64_t pos1 = pos[s + ci] + 1;
@@ -173,7 +252,7 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                                       strand1, 0});
           // assumed accepted-OVERLAP for this pass; kPending stops the
           // pair from being re-collected at every later occurrence
-          rid_pairs[ridp] = kPending;
+          rid_pairs.put(ridp, kPending);
           overlap_count++;
           continue;
         } else {
@@ -202,17 +281,17 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
           if (std::abs(rlen0 - (int64_t)(q_end - q_bgn)) < fuzz * 2 ||
               std::abs(rlen1 - (int64_t)(t_end - t_bgn)) < fuzz * 2) {
             if (rlen0 >= rlen1) {
-              rid_pairs[ridp] = kContains;
+              rid_pairs.put(ridp, kContains);
               ovlp_type = kContains;
               contained[ci] = 1;
             } else {
-              rid_pairs[ridp] = kContained;
+              rid_pairs.put(ridp, kContained);
               ovlp_type = kContained;
               contained[ai] = 1;
             }
           } else {
             overlap_count++;
-            rid_pairs[ridp] = kOverlap;
+            rid_pairs.put(ridp, kOverlap);
             ovlp_type = kOverlap;
           }
           OvlpRec r;
