@@ -15,7 +15,24 @@ import logging
 import sys
 
 
+def _honor_jax_platforms() -> None:
+    """Apply the JAX_PLATFORMS env var through the config API: an
+    environment sitecustomize that pre-imports jax and pins a backend
+    (e.g. the axon remote runtime) makes jax ignore the env var, so
+    `JAX_PLATFORMS=cpu pg-tpu ...` would silently run on the pinned
+    backend.  The config API still works before first device use."""
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized: keep whatever it is
+
+
 def main(argv=None) -> int:
+    _honor_jax_platforms()
     p = argparse.ArgumentParser(
         prog="pg-tpu",
         description="TPU-native OLC assembler for accurate long reads")

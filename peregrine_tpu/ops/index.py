@@ -59,6 +59,29 @@ def index_step_db_meta(seqdb_rows, meta, *, L: int, w: int, k: int, r: int,
                          L=L, w=w, k=k, r=r, levels=levels, cap=cap)
 
 
+INDEX_SCAN_GROUP = 16  # batches per scanned dispatch (fixed: stable shapes)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "w", "k", "r", "levels", "cap"))
+def index_step_db_scan(seqdb_rows, metas, *, L: int, w: int, k: int, r: int,
+                       levels: int, cap: int = 0):
+    """INDEX_SCAN_GROUP batches in ONE dispatch: metas is
+    [G, B, 3] int64 and the batches run as a lax.scan on device — one
+    host->device round trip and one result handle per G batches instead
+    of per batch.  G is fixed so each (L, B) pad class compiles exactly
+    one scan shape regardless of dataset size."""
+    def body(_, meta):
+        x, y, c, c0 = index_step_db(seqdb_rows, meta[:, 0],
+                                    meta[:, 1].astype(jnp.int32),
+                                    meta[:, 2].astype(jnp.uint32),
+                                    L=L, w=w, k=k, r=r, levels=levels,
+                                    cap=cap)
+        return 0, (x, y, c, c0)
+    _, outs = jax.lax.scan(body, 0, metas)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("w", "k", "r", "levels", "cap", "tight_out"))
 def index_step(codes, lengths, rids, *, w: int, k: int, r: int,
                levels: int, cap: int = 0, tight_out: bool = True):
@@ -239,12 +262,22 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     # sketched (and fetched) at 2x their length; a 4x finer unit keeps the
     # compile-shape set small (multiples of 8k) while batches stay tight
     bucket_unit = max(2048, cfg.sketch_pad_len // 4)
+
+    def _meta_for(part: np.ndarray, bsz: int) -> np.ndarray:
+        meta = np.zeros((bsz, 3), np.int64)
+        meta[:len(part), 0] = db.offsets[part]
+        meta[:len(part), 1] = db.lengths[part]
+        meta[:len(part), 2] = part
+        return meta
+
     for pad, sel in _length_buckets(lengths, bucket_unit).items():
         batch_rids = rids_all[sel]
         bsz = max(1, min(cfg.sketch_batch, (cfg.sketch_batch * cfg.sketch_pad_len) // pad))
-        for i in range(0, len(batch_rids), bsz):
-            part = batch_rids[i:i + bsz]
-            if keep_l0:
+        cap = max(256, pad // 8)
+        parts = [batch_rids[i:i + bsz]
+                 for i in range(0, len(batch_rids), bsz)]
+        if keep_l0:
+            for part in parts:
                 from .reduce import reduce_batch
                 from .sketch import sketch_batch
                 codes, lens = db.padded_code_batch(part, pad)
@@ -254,26 +287,37 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 xl, yl, cl = x0, y0, c0
                 for _ in range(cfg.levels):
                     xl, yl, cl = reduce_batch(xl, yl, cl, r=cfg.r)
-                handles = (xl, yl, cl, x0, y0, c0)
-            else:
-                npart = len(part)
-                bpad = bsz  # one batch shape per pad class: compile once
-                meta = np.zeros((bpad, 3), np.int64)
-                meta[:npart, 0] = db.offsets[part]
-                meta[:npart, 1] = db.lengths[part]
-                meta[:npart, 2] = part
-                cap = max(256, pad // 8)
-                handles = index_step_db_meta(
-                    seqdb_rows, jnp.asarray(meta), L=pad, w=cfg.w,
-                    k=cfg.k, r=cfg.r, levels=cfg.levels, cap=cap)
-            inflight.append((part, handles, pad))
+                inflight.append(([part], (xl, yl, cl, x0, y0, c0), pad))
+            continue
+        # full scan groups go out as ONE dispatch of G batches; the
+        # remainder dispatches per batch (index_step_db_meta)
+        G = INDEX_SCAN_GROUP
+        i = 0
+        while i + G <= len(parts):
+            grp = parts[i:i + G]
+            metas = np.stack([_meta_for(p, bsz) for p in grp])
+            handles = index_step_db_scan(
+                seqdb_rows, jnp.asarray(metas), L=pad, w=cfg.w, k=cfg.k,
+                r=cfg.r, levels=cfg.levels, cap=cap)
+            inflight.append((grp, handles, pad))
+            i += G
+        for part in parts[i:]:
+            handles = index_step_db_meta(
+                seqdb_rows, jnp.asarray(_meta_for(part, bsz)), L=pad,
+                w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=cap)
+            inflight.append(([part], handles, pad))
     if keep_l0:
-        for item in inflight:
-            _drain(*item)
+        for grp, handles, pad in inflight:
+            _drain(grp[0], handles, pad)
     elif inflight:
         fetched = jax.device_get([h for _, h, _ in inflight])
-        for (part, _, pad), vals in zip(inflight, fetched):
-            _drain(part, vals, pad, fetched=True)
+        for (grp, _, pad), vals in zip(inflight, fetched):
+            if len(grp) == 1:
+                _drain(grp[0], vals, pad, fetched=True)
+            else:  # scanned group: vals are [G, ...] stacked
+                for g, part in enumerate(grp):
+                    _drain(part, tuple(a[g] for a in vals), pad,
+                           fetched=True)
 
     order = sorted(xs)
     x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)

@@ -104,3 +104,26 @@ def test_build_index_cap_overflow_refetch(rng):
     want_y = np.concatenate([y[b, :c[b]] for b in range(len(db))])
     np.testing.assert_array_equal(idx.x, want_x)
     np.testing.assert_array_equal(idx.y, want_y)
+
+
+def test_build_index_scan_grouped_batches(rng):
+    """The scan-grouped dispatch path (>= INDEX_SCAN_GROUP batches per pad
+    class) produces the same records as per-batch dispatch — batching is
+    an execution detail."""
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.index import INDEX_SCAN_GROUP, build_index
+    from tests.simdata import random_genome, simulate_reads
+
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=8.0)
+    assert len(reads) > 2 * INDEX_SCAN_GROUP  # forces >= 1 full scan group
+    db = SeqDB.from_reads(reads)
+    small = build_index(db, AsmConfig(k=12, w=24, r=4, levels=2,
+                                      sketch_pad_len=8192, sketch_batch=2))
+    big = build_index(db, AsmConfig(k=12, w=24, r=4, levels=2,
+                                    sketch_pad_len=8192, sketch_batch=64))
+    np.testing.assert_array_equal(small.x, big.x)
+    np.testing.assert_array_equal(small.y, big.y)
+    np.testing.assert_array_equal(small.mc_hash, big.mc_hash)
+    np.testing.assert_array_equal(small.mc_count, big.mc_count)
