@@ -137,7 +137,8 @@ _lib.overlap_replay_c.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ck_a, ck_b, cvals
     ctypes.c_int64,                                      # n_cache
     ctypes.POINTER(ctypes.c_void_p), _i64p, _i64p,
-    ctypes.POINTER(ctypes.c_void_p)]                     # miss_reqs|NULL
+    ctypes.POINTER(ctypes.c_void_p),                     # miss_reqs|NULL
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]    # stream buf/cap/prog
 _lib.free_ovlp_recs_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
 _lib.free_spec_reqs2_c.argtypes = [ctypes.POINTER(ctypes.c_void_p)]
 
@@ -147,7 +148,9 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
                    db_data: np.ndarray, offsets: np.ndarray,
                    lengths: np.ndarray, bestn: int, fuzz: int, min_aln: int,
                    band: int, ck_a: np.ndarray, ck_b: np.ndarray,
-                   cvals: np.ndarray, collect_misses: bool = False):
+                   cvals: np.ndarray, collect_misses: bool = False,
+                   stream_buf: np.ndarray | None = None,
+                   stream_progress: np.ndarray | None = None):
     """Native sequential overlap accept loop (overlap_replay.cpp); returns
     (raw record bytes, n_records, n_cache_misses[, miss_requests]).
     cvals is an int32 [n, 8] matrix of cached alignment results in
@@ -157,7 +160,14 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     rejects in THIS pass) instead of aligning inline — the iterative
     driver in ops.overlap.overlap_all_spec.  The caller parses the record
     bytes with ops.overlap.OVLP_DTYPE (kept out of here to avoid a
-    circular import)."""
+    circular import).
+
+    stream_buf (SPEC_REQ_DTYPE, C-contiguous) + stream_progress (int64[1])
+    enable streaming collect: misses land in stream_buf as found, with
+    stream_progress[0] advanced behind them (release-store; safe to poll
+    from other Python threads while this call runs GIL-free).  The
+    returned miss_requests array then holds only the OVERFLOW beyond
+    len(stream_buf); n_cache_misses stays the total."""
     def p(a, dtype):
         a = np.ascontiguousarray(a, dtype)
         return a, a.ctypes.data_as(ctypes.c_void_p)
@@ -177,19 +187,33 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     n_out = ctypes.c_int64()
     n_miss = ctypes.c_int64()
     mreqs = ctypes.c_void_p()
+    if stream_buf is not None:
+        assert collect_misses
+        assert stream_buf.dtype == SPEC_REQ_DTYPE \
+            and stream_buf.flags.c_contiguous
+        assert stream_progress is not None \
+            and stream_progress.dtype == np.int64
+        sbp = stream_buf.ctypes.data_as(ctypes.c_void_p)
+        scap = len(stream_buf)
+        spp = stream_progress.ctypes.data_as(ctypes.c_void_p)
+    else:
+        sbp, scap, spp = None, 0, None
     _lib.overlap_replay_c(ysp, dirsp, posp, bsp, bep, len(bstart),
                           dbp, offp, lenp, bestn, fuzz, min_aln, band,
                           kap, kbp, cvp, len(ck_a),
                           ctypes.byref(out), ctypes.byref(n_out),
                           ctypes.byref(n_miss),
-                          ctypes.byref(mreqs) if collect_misses else None)
+                          ctypes.byref(mreqs) if collect_misses else None,
+                          sbp, scap, spp)
     try:
         raw = ctypes.string_at(out.value, n_out.value * _REC_SIZE) \
             if out.value and n_out.value else b""
         if collect_misses:
+            n_over = n_miss.value - (int(stream_progress[0])
+                                     if stream_buf is not None else 0)
             mraw = ctypes.string_at(
-                mreqs.value, n_miss.value * SPEC_REQ_DTYPE.itemsize) \
-                if mreqs.value and n_miss.value else b""
+                mreqs.value, n_over * SPEC_REQ_DTYPE.itemsize) \
+                if mreqs.value and n_over else b""
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
         if collect_misses:

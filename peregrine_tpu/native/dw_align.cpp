@@ -60,6 +60,29 @@ void ovlp_match_c(const uint8_t *q, coor q_len, uint8_t q_strand,
       y = x - k;
       const coor x1 = x, y1 = y;
 
+      // Snake extension, 8 bases per step: shifting the whole u64 right by
+      // the strand nibble-shift keeps each byte's selected nibble in place
+      // under the 0x0F mask (bit 8i+4..8i+7 -> 8i..8i+3, no cross-byte
+      // contamination).  On a mismatch, advance to the first differing
+      // byte and fall through — the scalar loop re-tests it and exits.
+      // Bounds: both loads stay fully inside the sequences (x+8<=q_len),
+      // so no read ever crosses the end of the caller's buffer (db_data
+      // is a file-backed mmap; an overrun would fault).
+      while (x + 8 <= q_len && y + 8 <= t_len) {
+        uint64_t qw, tw;
+        std::memcpy(&qw, q + x, 8);
+        std::memcpy(&tw, t + y, 8);
+        const uint64_t diff =
+            ((qw >> q_shift) ^ (tw >> t_shift)) & 0x0F0F0F0F0F0F0F0FULL;
+        if (diff) {
+          const coor adv = (coor)(__builtin_ctzll(diff) >> 3);
+          x += adv;
+          y += adv;
+          break;
+        }
+        x += 8;
+        y += 8;
+      }
       while (x < q_len && y < t_len &&
              ((q[x] >> q_shift) & 0x0F) == ((t[y] >> t_shift) & 0x0F)) {
         x++;
@@ -161,6 +184,22 @@ void dw_align_c(const char *q, coor q_len, const char *t, coor t_len,
       }
       y = x - k;
 
+      // 8-chars-at-a-time snake (see ovlp_match_c; plain byte compare —
+      // this variant aligns ASCII buffers)
+      while (x + 8 <= q_len && y + 8 <= t_len) {
+        uint64_t qw, tw;
+        std::memcpy(&qw, q + x, 8);
+        std::memcpy(&tw, t + y, 8);
+        const uint64_t diff = qw ^ tw;
+        if (diff) {
+          const coor adv = (coor)(__builtin_ctzll(diff) >> 3);
+          x += adv;
+          y += adv;
+          break;
+        }
+        x += 8;
+        y += 8;
+      }
       while (x < q_len && y < t_len && q[x] == t[y]) {
         x++;
         y++;

@@ -176,6 +176,15 @@ struct SpecReq {
 // final exact pass (ops.overlap.overlap_all_spec).  The final pass runs
 // with miss_reqs == nullptr, where misses align inline, so correctness
 // never depends on the collected set.
+//
+// streaming collect (stream_buf != nullptr): the first stream_cap misses
+// are written into the caller's buffer as they are discovered, with
+// *stream_progress advanced by a release-store after each one — aligner
+// threads on the Python side consume [consumed, progress) slices WHILE
+// this pass runs, hiding the single-core replay wall under the parallel
+// alignment work.  Overflow beyond stream_cap falls back to the malloc'd
+// miss_reqs array (aligned after the pass, exactly the non-streamed
+// behavior), so the cap only bounds the overlap, never correctness.
 void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       const int64_t *pos, const int64_t *bstart,
                       const int64_t *bend, int64_t n_buckets,
@@ -184,7 +193,9 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
                       int32_t min_aln, int32_t band, const uint64_t *ck_a,
                       const uint64_t *ck_b, const int32_t *cvals,
                       int64_t n_cache, OvlpRec **out_recs, int64_t *n_out,
-                      int64_t *n_miss, SpecReq **miss_reqs) {
+                      int64_t *n_miss, SpecReq **miss_reqs,
+                      SpecReq *stream_buf, int64_t stream_cap,
+                      int64_t *stream_progress) {
   CacheMap cache;
   cache.init(ck_a, ck_b, n_cache);
   PairMap rid_pairs;
@@ -194,6 +205,7 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
   std::vector<SpecReq> collected;
   const bool collect = miss_reqs != nullptr;
   int64_t misses = 0;
+  int64_t n_streamed = 0;
 
   for (int64_t bi = 0; bi < n_buckets; bi++) {
     const int64_t s = bstart[bi], e = bend[bi];
@@ -247,9 +259,15 @@ void overlap_replay_c(const uint64_t *ys, const uint8_t *dirs,
           q_m_end = v[7];
         } else if (collect) {
           misses++;
-          collected.push_back(SpecReq{(uint32_t)rid0, (uint32_t)rid1,
-                                      (int32_t)pos0, (int32_t)pos1, strand0,
-                                      strand1, 0});
+          const SpecReq rq{(uint32_t)rid0, (uint32_t)rid1,
+                           (int32_t)pos0, (int32_t)pos1, strand0,
+                           strand1, 0};
+          if (stream_buf != nullptr && n_streamed < stream_cap) {
+            stream_buf[n_streamed++] = rq;
+            __atomic_store_n(stream_progress, n_streamed, __ATOMIC_RELEASE);
+          } else {
+            collected.push_back(rq);
+          }
           // assumed accepted-OVERLAP for this pass; kPending stops the
           // pair from being re-collected at every later occurrence
           rid_pairs.put(ridp, kPending);

@@ -631,7 +631,31 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         total_aligned += int(rhave.sum())
 
     # iterative miss harvest: collect -> parallel align -> merge -> re-run
+    # (host backend: collect and align run CONCURRENTLY — the replay
+    # streams misses to aligner threads as it walks, so its single-core
+    # wall hides under the parallel alignment work)
+    cap0 = min(64 << 20, max(1 << 22,
+                             4 * cfg.best_n_ovlp * len(db.lengths)))
+    prev_miss = cap0
     for rnd in range(max_rounds):
+        if backend == "host":
+            cap = int(min(cap0, max(prev_miss, 1 << 16)))
+            miss, missreqs, rres = _collect_align_streaming(
+                db, cfg, stream, (ka, kb, res), db_data, n_workers, cap)
+            if miss == 0:
+                break
+            rhave = np.ones(len(missreqs), bool)
+            ka, kb, res = merge(ka, kb, res, missreqs, rres, rhave)
+            total_aligned += len(missreqs)
+            prev_miss = miss
+            log2.info("overlap dedup round %d: %d misses harvested "
+                      "(streamed)", rnd + 1, miss)
+            if miss < max(5000, total_aligned // 50):
+                # the next collect pass would cost a full replay wall
+                # (~13 s at Drosophila scale) to find a yet-smaller tail
+                # the final pass can align inline — stop iterating
+                break
+            continue
         _, _, miss, missreqs = _replay(db, cfg, stream, (ka, kb, res),
                                        db_data, collect=True)
         if miss == 0:
@@ -667,6 +691,82 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
               "(%d inline in the final pass)", backend, total_aligned,
               n_workers, miss)
     return recs
+
+
+def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
+                             db_data, n_workers: int, cap: int):
+    """One collect-mode replay pass with CONCURRENT alignment of the
+    streamed misses: the single-core replay writes requests into a shared
+    buffer behind an atomic progress counter while n_workers aligner
+    threads consume [cursor, progress) slices (GIL-free native calls on
+    both sides).  Oversubscribing the cores by one replay thread is fine —
+    wall converges to total_work / n_cores instead of
+    replay_wall + align_work / n_cores.  The collected request SET is
+    identical to the non-streamed pass (streaming changes who aligns,
+    never what is collected), so output bytes are unchanged.
+
+    Returns (n_miss, requests, results[n, 8]) with every request aligned
+    (buffer overflow beyond `cap` is aligned in a parallel epilogue)."""
+    import threading
+    import time as _time
+
+    from ..native import SPEC_REQ_DTYPE, align_spec, overlap_replay
+
+    sys_, sdirs, spos, sbs, sbe = stream[:5]
+    buf = np.zeros(cap, SPEC_REQ_DTYPE)
+    prog = np.zeros(1, np.int64)
+    res = np.zeros((cap, 8), np.int32)
+    done = threading.Event()
+    out: dict = {}
+
+    def run_replay():
+        try:
+            out["r"] = overlap_replay(
+                sys_, sdirs, spos, sbs, sbe, db_data, db.offsets,
+                db.lengths, cfg.best_n_ovlp, cfg.read_end_fuzz,
+                cfg.min_ovlp_aln, cfg.aln_bw, *cache, collect_misses=True,
+                stream_buf=buf, stream_progress=prog)
+        except BaseException as e:  # surfaced after join
+            out["err"] = e
+        finally:
+            done.set()
+
+    lock = threading.Lock()
+    cursor = [0]
+    chunk = 4096
+
+    def aligner():
+        while True:
+            avail = int(prog[0])
+            with lock:
+                lo = cursor[0]
+                hi = min(avail, lo + chunk)
+                cursor[0] = hi
+            if hi > lo:
+                align_spec(buf, lo, hi, db_data, db.offsets, db.lengths,
+                           cfg.aln_bw, res)
+                continue
+            if done.is_set() and lo >= int(prog[0]):
+                break
+            _time.sleep(0.002)
+
+    threads = [threading.Thread(target=run_replay)]
+    threads += [threading.Thread(target=aligner) for _ in range(n_workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if "err" in out:
+        raise out["err"]
+    _, _, n_miss, overflow = out["r"]
+    streamed = int(prog[0])
+    reqs = buf[:streamed]
+    rres = res[:streamed]
+    if len(overflow):
+        ores = _align_parallel(overflow, db, db_data, cfg.aln_bw, n_workers)
+        reqs = np.concatenate([reqs, overflow])
+        rres = np.concatenate([rres, ores])
+    return n_miss, reqs, rres
 
 
 def _replay(db: SeqDB, cfg: AsmConfig, stream, cache, db_data,
