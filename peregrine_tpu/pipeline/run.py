@@ -103,6 +103,10 @@ class Assembly:
                             "checkpoints in %s", diff, outdir)
         for d in ("0-seqdb", "1-index", "2-ovlp", "3-asm", "4-cns"):
             os.makedirs(os.path.join(outdir, d), exist_ok=True)
+        # absorb the remote service's per-process first-load stall behind
+        # the host-bound stage-0 work (pipeline/warmup.py)
+        from .warmup import warm_device_async
+        warm_device_async()
         with open(cfg_path, "w") as f:
             f.write(cfg.to_json())
         self.db: SeqDB | None = None

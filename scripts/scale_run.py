@@ -42,6 +42,10 @@ def main():
     import logging
     import numpy as np
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    # start absorbing the remote first-load stall under the (long) read
+    # simulation below
+    from peregrine_tpu.pipeline.warmup import warm_device_async
+    warm_device_async()
     from peregrine_tpu.config import AsmConfig
     from peregrine_tpu.io.seqdb import read_fastx, revcomp
     from peregrine_tpu.native import dw_align
