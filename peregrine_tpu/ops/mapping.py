@@ -32,12 +32,20 @@ def _empty() -> np.ndarray:
 
 def map_reads_to_ref(read_idx: ShimmerIndex, read_lengths: np.ndarray,
                      ref_idx: ShimmerIndex, cfg: AsmConfig,
-                     chunk: int = 1, total_chunk: int = 1) -> np.ndarray:
+                     chunk: int = 1, total_chunk: int = 1,
+                     pairs=None) -> np.ndarray:
     """Returns an int64 array [n, 9] of mapping rows (printf order,
-    src/shmr_map.c:153)."""
-    key0, key1, y0a, y1a, dira = build_pairs(
-        read_idx, read_lengths, chunk, total_chunk,
-        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    src/shmr_map.c:153).
+
+    pairs: an unchunked build_pairs result to reuse (the overlap stage
+    computes the identical pair map — ~41 s at Drosophila scale); only
+    honored for chunk == total_chunk == 1."""
+    if pairs is not None and chunk == 1 and total_chunk == 1:
+        key0, key1, y0a, y1a, dira = pairs
+    else:
+        key0, key1, y0a, y1a, dira = build_pairs(
+            read_idx, read_lengths, chunk, total_chunk,
+            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
 
     rx, ry = ref_idx.x, ref_idx.y
     n = len(rx)

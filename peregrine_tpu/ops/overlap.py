@@ -786,7 +786,8 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 seqdb_prefix: str | None = None,
                 mm_paths: list[str] | None = None,
                 mc_paths: list[str] | None = None,
-                dedup: bool | None = None) -> np.ndarray:
+                dedup: bool | None = None,
+                pairs=None) -> np.ndarray:
     """All overlaps, parallelized across worker threads.
 
     Default (cfg.dedup_overlap): the globally-deduplicated speculative
@@ -808,7 +809,7 @@ def overlap_all(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     if dedup:
         if n_workers <= 1:
             return overlap_chunk_native(db, idx, cfg)[0]
-        return overlap_all_spec(db, idx, cfg, n_workers)
+        return overlap_all_spec(db, idx, cfg, n_workers, pairs=pairs)
     if n_chunks <= 1:
         return overlap_chunk_native(db, idx, cfg)[0]
     cand = pair_candidates(idx, cfg.mc_lower, cfg.mc_upper,

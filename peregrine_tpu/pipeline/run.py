@@ -112,6 +112,7 @@ class Assembly:
         self.db: SeqDB | None = None
         self.idx: ShimmerIndex | None = None
         self._save_thread = None  # async stage-0 checkpoint write
+        self._pairs = None        # read pair map shared by stages 2 and 4
 
     def _invalidate_stages(self) -> None:
         """Remove config-dependent stage checkpoints (1-index through 4-cns
@@ -171,6 +172,18 @@ class Assembly:
                      f"; mesh of {mesh_n}" if mesh_n > 1 else "")
         return self.idx
 
+    def _pair_map(self):
+        """The unchunked oriented read pair map: identical inputs feed the
+        overlap stage and the stage-4 mapping (reference recomputes it in
+        shmr_overlap AND shmr_map; it costs ~41 s at Drosophila scale), so
+        it is built once and shared.  Freed after consensus."""
+        if self._pairs is None:
+            from ..ops.overlap import build_pairs
+            self._pairs = build_pairs(
+                self.idx, self.db.lengths, 1, 1, self.cfg.mc_lower,
+                self.cfg.mc_upper, self.cfg.min_anchor_dist)
+        return self._pairs
+
     # --- stage 2: overlaps ---------------------------------------------
     def build_overlaps(self, n_chunks: int | None = None,
                        n_workers: int | None = None) -> str:
@@ -185,7 +198,7 @@ class Assembly:
                 ovlps = overlap_all_spec(
                     self.db, self.idx, self.cfg,
                     n_workers=n_workers or (os.cpu_count() or 1),
-                    backend="hybrid")
+                    backend="hybrid", pairs=self._pair_map())
             elif self.cfg.hybrid_overlap:
                 import jax
                 from ..ops.overlap import overlap_all_hybrid
@@ -205,7 +218,8 @@ class Assembly:
                 from ..ops.overlap import overlap_all_spec
                 ovlps = overlap_all_spec(self.db, self.idx, self.cfg,
                                          n_workers=n_workers,
-                                         backend="device")
+                                         backend="device",
+                                         pairs=self._pair_map())
             elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
                 if n_chunks or n_workers:
@@ -224,7 +238,10 @@ class Assembly:
                     n_chunks=n_chunks, n_workers=n_workers,
                     seqdb_prefix=os.path.join(self.outdir, "0-seqdb", "seq_dataset"),
                     mm_paths=[f"{prefix}-L{level}-01-of-01.dat"],
-                    mc_paths=[f"{prefix}-L{level}-MC-01-of-01.dat"])
+                    mc_paths=[f"{prefix}-L{level}-MC-01-of-01.dat"],
+                    pairs=(self._pair_map()
+                           if self.cfg.dedup_overlap and n_workers > 1
+                           else None))
             lines = ovlps_to_text(ovlps)
             _write_lines(path, lines + ["-"])
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs)",
@@ -284,6 +301,7 @@ class Assembly:
                     and os.stat(a_fa).st_size > self.cfg.alt_cns_min_size):
                 self._polish("a_ctg.fa", "4-cns-alt", "a_ctg_cns.fa",
                              n_workers)
+        self._pairs = None  # free the shared pair map (GBs at scale)
         return out
 
     def _polish(self, ctg_fa: str, cns_subdir: str, out_name: str,
@@ -302,7 +320,8 @@ class Assembly:
             read_fastx(os.path.join(self.outdir, "3-asm", ctg_fa)))
         ctg_db.save(ctg_prefix)
         ctg_idx = build_index(ctg_db, self.cfg)
-        rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg)
+        rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg,
+                                pairs=self._pairs)
         from ..native import write_rows
         write_rows(rows.reshape(len(rows), -1),
                    os.path.join(cns_dir, "read_map.txt"))
