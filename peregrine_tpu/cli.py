@@ -109,6 +109,16 @@ def main(argv=None) -> int:
     dp.add_argument("mmlist", help="a *-L?-cc-of-tt.dat file")
     dp.add_argument("--limit", type=int, default=0)
 
+    st = sub.add_parser("stats", help="summarize a working directory: seqdb "
+                        "read stats, SHIMMER index density + multiplicity "
+                        "histogram, overlap degree (the process_L2-style "
+                        "analyses from the reference's py-utils, as one "
+                        "command)")
+    st.add_argument("workdir", help="assembly output dir (or a seqdb prefix "
+                    "with --prefix)")
+    st.add_argument("--prefix", action="store_true",
+                    help="treat WORKDIR as a seqdb prefix instead")
+
     gm = sub.add_parser("gather-mc", help="merge per-chunk minimizer-count "
                         "files (shmr_gather_mc equivalent)")
     gm.add_argument("mc_files", nargs="+", help="*-MC-cc-of-tt.dat files")
@@ -195,6 +205,54 @@ def main(argv=None) -> int:
             xi, yi = int(x[i]), int(y[i])
             print(f"{xi >> 8} {xi & 0xFF} {yi >> 32} "
                   f"{(yi & 0xFFFFFFFF) >> 1} {yi & 1}")
+        return 0
+
+    if args.cmd == "stats":
+        import glob as _glob
+        import os
+
+        import numpy as np
+
+        from .io import formats
+        from .io.seqdb import SeqDB
+
+        if args.prefix:
+            prefix, mms, ovl = args.workdir, [], None
+        else:
+            prefix = os.path.join(args.workdir, "0-seqdb", "seq_dataset")
+            mms = sorted(_glob.glob(
+                os.path.join(args.workdir, "1-index", "*-L?-0*.dat")))
+            mms = [p for p in mms if "-MC-" not in p]
+            ovl = os.path.join(args.workdir, "2-ovlp", "preads.ovl")
+        db = SeqDB.open(prefix)
+        lens = np.sort(db.lengths)[::-1]
+        half = lens.sum() / 2
+        n50 = int(lens[np.searchsorted(np.cumsum(lens), half)])
+        print(f"seqdb: {len(db)} reads, {int(lens.sum())} bases, "
+              f"mean {lens.mean():.0f}, N50 {n50}, max {int(lens[0])}")
+        for mm in mms:
+            x, y = formats.read_mmlist(mm)
+            if not len(x):
+                continue
+            dens = 1000.0 * len(x) / lens.sum()
+            h, c = np.unique(x >> np.uint64(8), return_counts=True)
+            hist = np.bincount(np.minimum(c, 10))
+            print(f"{os.path.basename(mm)}: {len(x)} SHIMMERs "
+                  f"({dens:.2f}/kb), {len(h)} distinct; multiplicity "
+                  "histogram (1..9,10+): "
+                  + " ".join(str(int(v)) for v in hist[1:]))
+        if ovl and os.path.exists(ovl):
+            rid0 = []
+            with open(ovl, "rb") as f:
+                for ln in f:
+                    if ln.startswith(b"-"):
+                        break
+                    rid0.append(int(ln.split(b" ", 1)[0]))
+            deg = np.bincount(np.asarray(rid0, np.int64),
+                              minlength=len(db))
+            print(f"overlaps: {len(rid0)} records; per-read out-degree "
+                  f"mean {deg.mean():.1f}, median {int(np.median(deg))}, "
+                  f"zero-degree reads {(deg == 0).sum()}")
         return 0
 
     if args.cmd == "gather-mc":

@@ -83,6 +83,21 @@ def test_cli_gather_mc(tmp_path):
     assert c.tolist() == [2, 5, 7, 1]
 
 
+def test_cli_stats(tmp_path, capsys):
+    """stats summarizes a seqdb prefix (read counts/N50) — the
+    process_L2-style py-utils analyses as one command."""
+    from peregrine_tpu import cli
+    from peregrine_tpu.io.seqdb import SeqDB
+
+    reads = [("r0", b"ACGT" * 300), ("r1", b"TTGCA" * 100),
+             ("r2", b"GATTACA" * 200)]
+    prefix = str(tmp_path / "sdb")
+    SeqDB.from_reads(reads).save(prefix)
+    assert cli.main(["stats", prefix, "--prefix"]) == 0
+    out = capsys.readouterr().out
+    assert "3 reads" in out and "N50 1200" in out
+
+
 def test_config_json_roundtrip():
     """AsmConfig survives the JSON round trip used by worker processes."""
     from peregrine_tpu.config import AsmConfig
