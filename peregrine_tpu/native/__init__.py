@@ -20,7 +20,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "spec_enum.cpp"),
         os.path.join(_DIR, "pack2.cpp"),
         os.path.join(_DIR, "parse_ovl.cpp"),
-        os.path.join(_DIR, "encode.cpp")]
+        os.path.join(_DIR, "encode.cpp"),
+        os.path.join(_DIR, "sort_pairs.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -247,6 +248,25 @@ def align_spec(reqs: np.ndarray, lo: int, hi: int, db_data: np.ndarray,
                       offsets.ctypes.data_as(ctypes.c_void_p),
                       lengths.ctypes.data_as(ctypes.c_void_p),
                       band, out.ctypes.data_as(ctypes.c_void_p))
+
+
+_lib.sort_pairs_c.argtypes = [ctypes.c_void_p] * 5 + [ctypes.c_int64]
+
+
+def sort_pairs(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
+               y1: np.ndarray, direction: np.ndarray) -> None:
+    """In-place stable lexicographic sort of the five pair-map arrays by
+    (key0, key1) — sort_pairs.cpp, two threads; order identical to
+    np.lexsort((key1, key0))."""
+    for a, dt in ((key0, np.uint64), (key1, np.uint64), (y0, np.uint64),
+                  (y1, np.uint64), (direction, np.uint8)):
+        assert a.dtype == dt and a.flags.c_contiguous and len(a) == len(key0)
+    _lib.sort_pairs_c(key0.ctypes.data_as(ctypes.c_void_p),
+                      key1.ctypes.data_as(ctypes.c_void_p),
+                      y0.ctypes.data_as(ctypes.c_void_p),
+                      y1.ctypes.data_as(ctypes.c_void_p),
+                      direction.ctypes.data_as(ctypes.c_void_p),
+                      len(key0))
 
 
 _lib.pack_db_c.argtypes = [

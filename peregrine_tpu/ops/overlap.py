@@ -126,8 +126,12 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
     direction = np.concatenate([np.zeros(len(k0f), np.uint8),
                                 np.ones(len(k0r), np.uint8)])
 
-    order = np.lexsort((key1, key0))
-    return key0[order], key1[order], y0[order], y1[order], direction[order]
+    # stable (key0, key1) sort — threaded native pass (sort_pairs.cpp);
+    # order identical to np.lexsort((key1, key0)), ~4x faster at 14.9M
+    # rows on 2 cores
+    from ..native import sort_pairs
+    sort_pairs(key0, key1, y0, y1, direction)
+    return key0, key1, y0, y1, direction
 
 
 def _bucket_bounds(key0: np.ndarray, key1: np.ndarray):
@@ -571,16 +575,22 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     """
     import logging
     import os as _os
+    import time as _t
 
     from ..native import spec_enum
 
     log2 = logging.getLogger("peregrine_tpu")
     if n_workers is None:
         n_workers = _os.cpu_count() or 1
+    _t0 = _t.time()
     key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
         idx, db.lengths, 1, 1,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+    _t1 = _t.time()
     stream = _bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper)
+    log2.info("overlap dedup: pair map %.1fs (%d entries)%s + stream %.1fs",
+              _t1 - _t0, len(key0), " [shared]" if pairs is not None else "",
+              _t.time() - _t1)
     sys_, sdirs, spos, sbs, sbe, _ = stream
     db_data = np.ascontiguousarray(db.data, np.uint8) \
         if not db.data.flags.c_contiguous else db.data
@@ -599,18 +609,16 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 np.ones(len(rr), bool))
 
     def merge(ka, kb, res, rr, rres, rhave):
+        # append-only: the replay's cache is a hash map (CacheMap in
+        # overlap_replay.cpp) that neither needs sorted keys nor cares
+        # which duplicate wins — a request key fully determines the
+        # alignment inputs, so duplicate keys carry identical results.
+        # (The per-round lexsort+dedup this replaces cost ~4 s/round at
+        # 140 Mb scale.)
         mka, mkb = _req_keys(rr)
         ka = np.concatenate([ka, mka[rhave]])
         kb = np.concatenate([kb, mkb[rhave]])
         res = np.concatenate([res, rres[rhave]])
-        o = np.lexsort((kb, ka))
-        ka, kb, res = ka[o], kb[o], res[o]
-        # exact-duplicate keys (same request re-collected from another
-        # bucket) would make the binary search ambiguous — keep the first
-        dup = np.zeros(len(ka), bool)
-        dup[1:] = (ka[1:] == ka[:-1]) & (kb[1:] == kb[:-1])
-        if dup.any():
-            ka, kb, res = ka[~dup], kb[~dup], res[~dup]
         return ka, kb, res
 
     ka = np.zeros(0, np.uint64)
@@ -639,17 +647,20 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     prev_miss = cap0
     for rnd in range(max_rounds):
         if backend == "host":
+            _tr = _t.time()
             cap = int(min(cap0, max(prev_miss, 1 << 16)))
             miss, missreqs, rres = _collect_align_streaming(
                 db, cfg, stream, (ka, kb, res), db_data, n_workers, cap)
             if miss == 0:
                 break
+            _ta = _t.time()
             rhave = np.ones(len(missreqs), bool)
             ka, kb, res = merge(ka, kb, res, missreqs, rres, rhave)
             total_aligned += len(missreqs)
             prev_miss = miss
             log2.info("overlap dedup round %d: %d misses harvested "
-                      "(streamed)", rnd + 1, miss)
+                      "(streamed, %.1fs + merge %.1fs)", rnd + 1, miss,
+                      _ta - _tr, _t.time() - _ta)
             if miss < max(5000, total_aligned // 50):
                 # the next collect pass would cost a full replay wall
                 # (~13 s at Drosophila scale) to find a yet-smaller tail
@@ -684,12 +695,13 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         log2.info("overlap dedup round %d: %d misses harvested", rnd + 1,
                   len(missreqs))
 
+    _tf = _t.time()
     recs, miss = overlap_chunk_native(db, idx, cfg, stream=stream[:5],
                                       cache=(ka, kb, res))
     total_aligned += miss
     log2.info("overlap dedup [%s]: %d alignments total on %d workers "
-              "(%d inline in the final pass)", backend, total_aligned,
-              n_workers, miss)
+              "(%d inline in the final pass, %.1fs)", backend,
+              total_aligned, n_workers, miss, _t.time() - _tf)
     return recs
 
 
