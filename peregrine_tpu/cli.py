@@ -33,6 +33,8 @@ def _honor_jax_platforms() -> None:
 
 def main(argv=None) -> int:
     _honor_jax_platforms()
+    from .config import DEFAULT
+
     p = argparse.ArgumentParser(
         prog="pg-tpu",
         description="TPU-native OLC assembler for accurate long reads")
@@ -43,18 +45,20 @@ def main(argv=None) -> int:
     asm.add_argument("--output", default="./wd", help="output directory")
     asm.add_argument("--with-consensus", action="store_true",
                      help="polish draft contigs with read consensus")
-    asm.add_argument("--shimmer-k", type=int, default=16, dest="k")
-    asm.add_argument("--shimmer-w", type=int, default=80, dest="w")
-    asm.add_argument("--shimmer-r", type=int, default=6, dest="r")
-    asm.add_argument("--shimmer-l", type=int, default=2, dest="levels",
-                     help="SHIMMER reduction levels (1 or 2)")
-    asm.add_argument("--best_n_ovlp", type=int, default=4)
-    asm.add_argument("--mc_lower", type=int, default=2)
-    asm.add_argument("--mc_upper", type=int, default=240)
-    asm.add_argument("--aln_bw", type=int, default=100)
-    asm.add_argument("--ovlp_upper", type=int, default=120)
-    asm.add_argument("--min_len", type=int, default=4000)
-    asm.add_argument("--min_idt", type=float, default=96.0)
+    # defaults come from AsmConfig — the single source of truth — so the
+    # reference's triplicated-default drift (SURVEY §5) cannot recur here
+    asm.add_argument("--shimmer-k", type=int, default=DEFAULT.k, dest="k")
+    asm.add_argument("--shimmer-w", type=int, default=DEFAULT.w, dest="w")
+    asm.add_argument("--shimmer-r", type=int, default=DEFAULT.r, dest="r")
+    asm.add_argument("--shimmer-l", type=int, default=DEFAULT.levels,
+                     dest="levels", help="SHIMMER reduction levels (1 or 2)")
+    asm.add_argument("--best_n_ovlp", type=int, default=DEFAULT.best_n_ovlp)
+    asm.add_argument("--mc_lower", type=int, default=DEFAULT.mc_lower)
+    asm.add_argument("--mc_upper", type=int, default=DEFAULT.mc_upper)
+    asm.add_argument("--aln_bw", type=int, default=DEFAULT.aln_bw)
+    asm.add_argument("--ovlp_upper", type=int, default=DEFAULT.ovlp_upper)
+    asm.add_argument("--min_len", type=int, default=DEFAULT.min_len)
+    asm.add_argument("--min_idt", type=float, default=DEFAULT.min_idt)
     asm.add_argument("--lfc", action="store_true",
                      help="local-flow-consistency repeat resolution")
     asm.add_argument("--disable_chimer_bridge_removal", action="store_true")
@@ -68,10 +72,16 @@ def main(argv=None) -> int:
                      help="overlap/consensus worker processes (default: auto)")
     asm.add_argument("--device-aligner", action="store_true",
                      help="run overlap confirmation on the TPU (batched "
-                          "banded Myers) instead of host cores")
+                          "banded Myers) instead of host cores.  NOTE: the "
+                          "device kernel reports optimal edit distances where "
+                          "the host aligner is greedy, so accept decisions "
+                          "differ slightly (~97.5%% pair agreement with the "
+                          "host backend; contig-level output is equivalent "
+                          "but not byte-identical)")
     asm.add_argument("--hybrid-overlap", action="store_true",
                      help="align overlap chunks on the TPU and host cores "
-                          "concurrently (work-stealing chunk queue)")
+                          "concurrently (work-stealing chunk queue).  Same "
+                          "output caveat as --device-aligner")
     asm.add_argument("--shard-overlap", action="store_true",
                      help="shard the seqdb across all devices and route "
                           "alignment requests over ICI (for dbs larger "
@@ -221,7 +231,7 @@ def main(argv=None) -> int:
         else:
             prefix = os.path.join(args.workdir, "0-seqdb", "seq_dataset")
             mms = sorted(_glob.glob(
-                os.path.join(args.workdir, "1-index", "*-L?-0*.dat")))
+                os.path.join(args.workdir, "1-index", "*-L?-*-of-*.dat")))
             mms = [p for p in mms if "-MC-" not in p]
             ovl = os.path.join(args.workdir, "2-ovlp", "preads.ovl")
         db = SeqDB.open(prefix)

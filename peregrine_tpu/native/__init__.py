@@ -260,7 +260,14 @@ def sort_pairs(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
     np.lexsort((key1, key0))."""
     for a, dt in ((key0, np.uint64), (key1, np.uint64), (y0, np.uint64),
                   (y1, np.uint64), (direction, np.uint8)):
-        assert a.dtype == dt and a.flags.c_contiguous and len(a) == len(key0)
+        # real exceptions, not asserts: these guard native in-place memory
+        # access and must survive python -O
+        if a.dtype != dt:
+            raise TypeError(f"sort_pairs: expected {dt}, got {a.dtype}")
+        if not a.flags.c_contiguous:
+            raise ValueError("sort_pairs: arrays must be C-contiguous")
+        if len(a) != len(key0):
+            raise ValueError("sort_pairs: length mismatch")
     _lib.sort_pairs_c(key0.ctypes.data_as(ctypes.c_void_p),
                       key1.ctypes.data_as(ctypes.c_void_p),
                       y0.ctypes.data_as(ctypes.c_void_p),

@@ -4,7 +4,8 @@
 // turn mirrors the reference shimmer_to_overlap, src/shmr_overlap.c:52-180):
 // anchors in descending-position order, up to bestn extensions per anchor,
 // containment kills, global rid-pair dedup.  Alignments come from a
-// speculative result cache (sorted key arrays, binary search) with the
+// speculative result cache (unordered keys, CacheMap hash lookup,
+// duplicate keys first-wins) with the
 // banded O(ND) kernel (dw_align.cpp ovlp_match_c) as the miss fallback —
 // no Python in the loop.  The Python overlap_chunk stays as the semantic
 // reference; equivalence is asserted in tests/test_overlap.py.

@@ -236,7 +236,8 @@ def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                          pairs=None, cache=None, stream=None, cand=None):
     """overlap_chunk semantics with the sequential accept loop in C++
     (native/overlap_replay.cpp); alignments come from the optional
-    speculative cache (sorted key arrays) with the native O(ND) kernel as
+    speculative cache (unordered keys, CacheMap hash lookup, duplicate
+    keys first-wins) with the native O(ND) kernel as
     miss fallback.  Returns (records, n_cache_misses).  stream may pass a
     precomputed _bucket_stream to avoid rebuilding it; cand a shared
     pair_candidates result."""
@@ -749,8 +750,12 @@ def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
 
     def aligner():
         while True:
-            avail = int(prog[0])
             with lock:
+                # read the progress counter under the lock: the mutex
+                # acquire is the acquire barrier pairing the C++ side's
+                # release store on weakly-ordered CPUs (plain loads are
+                # only safe on x86-TSO)
+                avail = int(prog[0])
                 lo = cursor[0]
                 hi = min(avail, lo + chunk)
                 cursor[0] = hi

@@ -191,6 +191,13 @@ class Assembly:
         if not _stage_done(path):
             t0 = time.time()
             dedup = self.cfg.dedup_overlap
+            if self.cfg.use_device_aligner or self.cfg.hybrid_overlap:
+                log.warning(
+                    "non-host overlap backend: the device Myers kernel "
+                    "reports optimal distances where the host aligner is "
+                    "greedy, so accept decisions differ slightly (~97.5%% "
+                    "pair agreement); output is not byte-identical to the "
+                    "host backend")
             if self.cfg.hybrid_overlap and dedup:
                 # chunk-free hybrid: host threads + a device thread pull
                 # slices of ONE globally-deduplicated request array

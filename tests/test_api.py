@@ -98,6 +98,38 @@ def test_cli_stats(tmp_path, capsys):
     assert "3 reads" in out and "N50 1200" in out
 
 
+def test_cli_defaults_match_config():
+    """`pg-tpu asm` with no flags must equal AsmConfig(): argparse defaults
+    are read FROM the dataclass, so the reference's triplicated-default
+    drift (SURVEY §5) cannot recur."""
+    import argparse
+
+    from peregrine_tpu import cli
+    from peregrine_tpu.config import AsmConfig
+
+    captured = {}
+    orig = argparse.ArgumentParser.parse_args
+
+    def grab(self, argv=None):
+        ns = orig(self, argv)
+        captured.update(vars(ns))
+        raise SystemExit(0)  # stop before the pipeline runs
+
+    argparse.ArgumentParser.parse_args = grab
+    try:
+        try:
+            cli.main(["asm", "reads.lst"])
+        except SystemExit:
+            pass
+    finally:
+        argparse.ArgumentParser.parse_args = orig
+
+    want = AsmConfig()
+    for field in ("k", "w", "r", "levels", "best_n_ovlp", "mc_lower",
+                  "mc_upper", "aln_bw", "ovlp_upper", "min_len", "min_idt"):
+        assert captured[field] == getattr(want, field), field
+
+
 def test_config_json_roundtrip():
     """AsmConfig survives the JSON round trip used by worker processes."""
     from peregrine_tpu.config import AsmConfig
