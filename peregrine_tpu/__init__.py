@@ -28,4 +28,12 @@ jax.config.update("jax_enable_x64", True)
 # callers).
 jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
+# Persistent compile cache: remote-backend compiles cost 20-450 s each
+# through the tunnel, so every entry point must reuse them.  Set here,
+# package-wide, unless the caller already chose a directory.
+if not jax.config.jax_compilation_cache_dir:
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.expanduser("~/.cache/jax_comp"))
+
 __version__ = "0.1.0"

@@ -21,7 +21,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "pack2.cpp"),
         os.path.join(_DIR, "parse_ovl.cpp"),
         os.path.join(_DIR, "encode.cpp"),
-        os.path.join(_DIR, "sort_pairs.cpp")]
+        os.path.join(_DIR, "sort_pairs.cpp"),
+        os.path.join(_DIR, "build_pairs.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -406,6 +407,114 @@ def spec_enum(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
         _lib.free_spec_reqs_c(ctypes.byref(out))
     return (np.frombuffer(raw, dtype=SPEC_REQ_DTYPE).copy() if raw
             else np.zeros(0, SPEC_REQ_DTYPE))
+
+
+_lib.pair_scan_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # x, y, n
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # mc_hash/count, m
+    ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,   # lower, upper, dist
+    ctypes.c_void_p]                                     # keep scratch
+_lib.pair_scan_c.restype = ctypes.c_int64
+_lib.pair_fill_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,    # x, y, n
+    ctypes.c_void_p, ctypes.c_void_p,                    # keep, rl
+    ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint64,   # dist, tc, ck
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # key0, key1, y0
+    ctypes.c_void_p, ctypes.c_void_p]                    # y1, dir
+_lib.pair_fill_c.restype = ctypes.c_int64
+_lib.bucket_stream_scan_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p]
+_lib.bucket_stream_fill_c.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ys, dirs, pos
+    ctypes.c_void_p, ctypes.c_void_p]                    # bstart, bend
+
+
+def _cptr(a: np.ndarray, dt, name: str):
+    if a.dtype != dt:
+        raise TypeError(f"{name}: expected {dt}, got {a.dtype}")
+    if not a.flags.c_contiguous:
+        raise ValueError(f"{name}: must be C-contiguous")
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def build_pairs_fused(x: np.ndarray, y: np.ndarray, mc_hash: np.ndarray,
+                      mc_count: np.ndarray, read_lengths: np.ndarray,
+                      mc_lower: int, mc_upper: int, min_dist: int,
+                      chunk: int = 1, total_chunk: int = 1):
+    """Fused threaded pair-map build (build_pairs.cpp): MC gates +
+    adjacency + orientation flips + stable (key0, key1) sort in three
+    linear passes.  Byte-identical to ops.overlap.build_pairs (asserted
+    in tests/test_overlap.py).  Returns (key0, key1, y0, y1, dir)."""
+    n = len(x)
+    xp = _cptr(x, np.uint64, "x")
+    yp = _cptr(y, np.uint64, "y")
+    mhp = _cptr(mc_hash, np.uint64, "mc_hash")
+    mcp = _cptr(mc_count, np.uint32, "mc_count")
+    rl = np.ascontiguousarray(read_lengths, np.int64)
+    keep = np.empty(max(n, 1), np.uint8)
+    n_cand = _lib.pair_scan_c(xp, yp, n, mhp, mcp, len(mc_hash),
+                              mc_lower, mc_upper, min_dist,
+                              keep.ctypes.data_as(ctypes.c_void_p))
+    z64 = np.zeros(0, np.uint64)
+    if n_cand == 0:
+        return z64, z64, z64, z64, np.zeros(0, np.uint8)
+    cap = 2 * n_cand  # exact when total_chunk == 1; upper bound otherwise
+    key0 = np.empty(cap, np.uint64)
+    key1 = np.empty(cap, np.uint64)
+    y0 = np.empty(cap, np.uint64)
+    y1 = np.empty(cap, np.uint64)
+    direction = np.empty(cap, np.uint8)
+    total = _lib.pair_fill_c(
+        xp, yp, n, keep.ctypes.data_as(ctypes.c_void_p),
+        rl.ctypes.data_as(ctypes.c_void_p), min_dist,
+        total_chunk, chunk % total_chunk,
+        key0.ctypes.data_as(ctypes.c_void_p),
+        key1.ctypes.data_as(ctypes.c_void_p),
+        y0.ctypes.data_as(ctypes.c_void_p),
+        y1.ctypes.data_as(ctypes.c_void_p),
+        direction.ctypes.data_as(ctypes.c_void_p))
+    del keep
+    if total < cap:
+        key0, key1 = key0[:total].copy(), key1[:total].copy()
+        y0, y1 = y0[:total].copy(), y1[:total].copy()
+        direction = direction[:total].copy()
+    sort_pairs(key0, key1, y0, y1, direction)
+    return key0, key1, y0, y1, direction
+
+
+def bucket_stream_fused(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
+                        direction: np.ndarray, ovlp_upper: int):
+    """Threaded bucket-stream build over the sorted pair map
+    (build_pairs.cpp): run-length buckets, size gate, stable
+    descending-position order within each bucket — identical to the
+    numpy lexsort((-pos, bid)) stream.  Returns (ys, dirs, pos, bstart,
+    bend)."""
+    n = len(key0)
+    k0p = _cptr(key0, np.uint64, "key0")
+    k1p = _cptr(key1, np.uint64, "key1")
+    y0p = _cptr(y0, np.uint64, "y0")
+    dp = _cptr(direction, np.uint8, "direction")
+    out2 = np.zeros(2, np.int64)
+    _lib.bucket_stream_scan_c(k0p, k1p, n, ovlp_upper,
+                              out2.ctypes.data_as(ctypes.c_void_p))
+    n_stream, n_buckets = int(out2[0]), int(out2[1])
+    ys = np.empty(n_stream, np.uint64)
+    dirs = np.empty(n_stream, np.uint8)
+    pos = np.empty(n_stream, np.int64)
+    bstart = np.empty(n_buckets, np.int64)
+    bend = np.empty(n_buckets, np.int64)
+    if n_stream:
+        _lib.bucket_stream_fill_c(
+            k0p, k1p, y0p, dp, n, ovlp_upper,
+            ys.ctypes.data_as(ctypes.c_void_p),
+            dirs.ctypes.data_as(ctypes.c_void_p),
+            pos.ctypes.data_as(ctypes.c_void_p),
+            bstart.ctypes.data_as(ctypes.c_void_p),
+            bend.ctypes.data_as(ctypes.c_void_p))
+    return ys, dirs, pos, bstart, bend
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

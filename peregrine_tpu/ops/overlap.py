@@ -81,11 +81,35 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
                 mc_lower: int = 2, mc_upper: int = 240,
                 min_dist: int = 100, cand=None):
     """Oriented adjacent-SHIMMER pair records (build_map semantics,
-    src/shmr_utils.c:295-404), vectorized.  cand may pass a precomputed
-    pair_candidates result (shared across hash chunks).
+    src/shmr_utils.c:295-404).
+
+    Dispatches to the fused threaded native build (native/build_pairs.cpp,
+    ~12 s vs ~35 s numpy at 250 Mb scale) unless `cand` passes a
+    precomputed pair_candidates result (the legacy hash-chunk path shares
+    one scan across chunks); build_pairs_np below is the semantic oracle
+    and the two are asserted byte-identical in tests/test_overlap.py.
 
     Returns (key0, key1, y0, y1, direction) arrays sorted by (key0, key1).
     """
+    if cand is None:
+        from ..native import build_pairs_fused
+        return build_pairs_fused(
+            np.ascontiguousarray(idx.x, np.uint64),
+            np.ascontiguousarray(idx.y, np.uint64),
+            np.ascontiguousarray(idx.mc_hash, np.uint64),
+            np.ascontiguousarray(idx.mc_count, np.uint32),
+            read_lengths, mc_lower, mc_upper, min_dist, chunk, total_chunk)
+    return build_pairs_np(idx, read_lengths, chunk, total_chunk,
+                          mc_lower, mc_upper, min_dist, cand)
+
+
+def build_pairs_np(idx: ShimmerIndex, read_lengths: np.ndarray,
+                   chunk: int = 1, total_chunk: int = 1,
+                   mc_lower: int = 2, mc_upper: int = 240,
+                   min_dist: int = 100, cand=None):
+    """Vectorized numpy pair-map build (semantic oracle for the native
+    fused path; also the production path when a shared `cand` amortizes
+    the eligibility scan across legacy hash chunks)."""
     if cand is None:
         cand = pair_candidates(idx, mc_lower, mc_upper, min_dist)
     p0x, p1x, p0y, p1y = cand
@@ -141,6 +165,20 @@ def _bucket_bounds(key0: np.ndarray, key1: np.ndarray):
     change = np.flatnonzero((key0[1:] != key0[:-1]) | (key1[1:] != key1[:-1])) + 1
     bounds = np.concatenate([[0], change, [len(key0)]]).astype(np.int64)
     return bounds[:-1], bounds[1:]
+
+
+def bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
+    """Fused native bucket-stream build (build_pairs.cpp): the
+    _bucket_stream semantics (which remains the numpy oracle, asserted
+    equal in tests/test_overlap.py) as two threaded linear passes.
+    Returns (ys, dirs, pos, bstart, bend) — no bid array (unused by
+    production callers)."""
+    from ..native import bucket_stream_fused
+    return bucket_stream_fused(
+        np.ascontiguousarray(key0, np.uint64),
+        np.ascontiguousarray(key1, np.uint64),
+        np.ascontiguousarray(y0a, np.uint64),
+        np.ascontiguousarray(dira, np.uint8), ovlp_upper)
 
 
 def _bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
@@ -248,8 +286,8 @@ def overlap_chunk_native(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                                       else build_pairs(
             idx, db.lengths, chunk, total_chunk,
             cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist, cand=cand))
-        ys, dirs, pos, bs, be, _ = _bucket_stream(key0, key1, y0a, dira,
-                                                  cfg.ovlp_upper)
+        ys, dirs, pos, bs, be = bucket_stream(key0, key1, y0a, dira,
+                                              cfg.ovlp_upper)
     else:
         ys, dirs, pos, bs, be = stream
     if cache is None:
@@ -588,11 +626,11 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         idx, db.lengths, 1, 1,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
     _t1 = _t.time()
-    stream = _bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper)
+    stream = bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper)
     log2.info("overlap dedup: pair map %.1fs (%d entries)%s + stream %.1fs",
               _t1 - _t0, len(key0), " [shared]" if pairs is not None else "",
               _t.time() - _t1)
-    sys_, sdirs, spos, sbs, sbe, _ = stream
+    sys_, sdirs, spos, sbs, sbe = stream
     db_data = np.ascontiguousarray(db.data, np.uint8) \
         if not db.data.flags.c_contiguous else db.data
 
@@ -1005,7 +1043,7 @@ def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     # (src/shmr_overlap.c:101-107).  Pairs are generated as (i, i+d) for
     # d <= spec_window + slack; self-read runs longer than the slack make
     # the replay miss the cache and fall back to the native aligner.
-    sys_, sdirs, spos, sbs, sbe, sbid = _bucket_stream(
+    sys_, sdirs, spos, sbs, sbe = bucket_stream(
         key0, key1, y0a, dira, cfg.ovlp_upper)
     from ..native import spec_enum
     reqs = spec_enum(sys_, sdirs, spos, sbs, sbe,

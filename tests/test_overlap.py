@@ -49,6 +49,34 @@ def test_build_pairs_properties(rng):
     assert (p0[rev].astype(np.int64) < rl).all()
 
 
+def test_fused_pair_build_matches_numpy_oracle(rng):
+    """The native fused build (build_pairs.cpp) must be byte-identical to
+    the numpy build_pairs_np + _bucket_stream oracles — same stable
+    (key0, key1) order, same flip arithmetic, same stream ordering."""
+    from peregrine_tpu.ops.overlap import (_bucket_stream, bucket_stream,
+                                           build_pairs_np)
+
+    cfg = _cfg()
+    _, db, _ = _make(rng)
+    idx = build_index(db, cfg)
+    for total in (1, 3):
+        for chunk in range(1, total + 1):
+            ref = build_pairs_np(idx, db.lengths, chunk, total,
+                                 cfg.mc_lower, cfg.mc_upper)
+            got = build_pairs(idx, db.lengths, chunk, total,
+                              cfg.mc_lower, cfg.mc_upper)
+            for a, b in zip(ref, got):
+                assert len(a) == len(b)
+                assert (a == b).all()
+    ref = build_pairs_np(idx, db.lengths)
+    s_ref = _bucket_stream(ref[0], ref[1], ref[2], ref[4], cfg.ovlp_upper)
+    s_got = bucket_stream(ref[0], ref[1], ref[2], ref[4], cfg.ovlp_upper)
+    assert len(s_got) == 5
+    for a, b in zip(s_ref[:5], s_got):
+        assert len(a) == len(b)
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_pair_sharding_partitions(rng):
     cfg = _cfg()
     _, db, _ = _make(rng)
