@@ -290,11 +290,64 @@ class StringGraph:
 
 @dataclass
 class GraphResult:
-    sg: StringGraph
+    sg: StringGraph | None
     live: DiGraph                       # the surviving ("G") string graph
     edge_data: dict[tuple[str, str], tuple]
     chimer_nodes: list[str] = field(default_factory=list)
     sg_edge_lines: list[str] = field(default_factory=list)
+    # native path: the formatted sg_edges_list file bytes (sg_edge_lines
+    # then stays empty — materializing 1.9M Python strings cost ~8 s at
+    # 250 Mb scale); writers prefer this when set
+    sg_edge_bytes: bytes | None = None
+
+    def tiling_edge_data(self) -> dict:
+        """The G-edge dict tiling_paths needs, with identities
+        round-tripped through the %5.2f line format exactly as
+        _parse_sg_edge_lines would produce."""
+        return {k: (rid, sp, tp, score, float(f"{idt:5.2f}"))
+                for k, (rid, sp, tp, _len, score, idt, _t)
+                in self.edge_data.items()}
+
+
+def _node_name(code: int) -> str:
+    return "%09d:%s" % (code >> 1, "E" if code & 1 else "B")
+
+
+def _graph_result_from_native(res: dict) -> GraphResult:
+    """Assemble a GraphResult from the sg_passes.cpp output (G edges only
+    enter the live graph; classification and line formatting already
+    happened natively)."""
+    import numpy as np
+
+    live = DiGraph()
+    edge_data: dict[tuple[str, str], tuple] = {}
+    cls = res["cls"]
+    gsel = np.flatnonzero(cls == 0)
+    ev, ew = res["ev"], res["ew"]
+    lrid, ls, lt = res["lrid"], res["ls"], res["lt"]
+    score, idt = res["score"], res["idt"]
+    best_in = set(res["best_in"].tolist())
+    names: dict[int, str] = {}
+
+    def name(code: int) -> str:
+        s = names.get(code)
+        if s is None:
+            s = names[code] = _node_name(code)
+        return s
+
+    for i in gsel.tolist():
+        v, w = name(int(ev[i])), name(int(ew[i]))
+        sp, tp = int(ls[i]), int(lt[i])
+        length = abs(sp - tp)
+        sc = int(score[i])
+        live.add_edge(v, w, length=length, score=sc)
+        edge_data[(v, w)] = ("%09d" % int(lrid[i]), sp, tp, length, sc,
+                             float(idt[i]), "G")
+        if int(ew[i]) in best_in:
+            live.node_attr[w]["best_in"] = v
+    chimer_nodes = [_node_name(int(c)) for c in res["chimer"]]
+    return GraphResult(None, live, edge_data, chimer_nodes, [],
+                       res["lines"])
 
 
 def _edges_from_rows(rows, cont) -> StringGraph:
@@ -381,18 +434,25 @@ def _edges_from_rows(rows, cont) -> StringGraph:
 def generate_string_graph(overlap_lines=None, min_len: int = 4000,
                           min_idt: float = 96.0, lfc: bool = False,
                           disable_chimer_bridge_removal: bool = False,
-                          ovl_bytes: bytes | None = None) -> GraphResult:
+                          ovl_bytes: bytes | None = None,
+                          use_native: bool = True) -> GraphResult:
     """Overlaps -> classified string graph (reference ovlp_to_graph.py:658-908).
 
     overlap_lines: iterable of preads.ovl rows (13 columns,
     src/shmr_dedup.c:93-99); a leading '-' line terminates input.
-    ovl_bytes: alternatively, the raw file bytes — parsed by the C++
-    fast path (native/parse_ovl.cpp; per-line Python parsing dominated
-    the layout wall at scale).  The Python loop below is the semantic
-    reference; equality is asserted in tests/test_graph.py.
+    ovl_bytes: alternatively, the raw file bytes — parsed and (with
+    use_native, the default) fully classified by the C++ fast path
+    (native/parse_ovl.cpp + native/sg_passes.cpp; the Python passes
+    below cost ~50 s at 250 Mb scale and remain the semantic oracle —
+    byte-equality is asserted in tests/test_graph.py).
     """
     contained: set[str] = set()
     overlap_data = []
+    if ovl_bytes is not None and use_native:
+        from ..native import parse_ovl, sg_build
+        rows, cont = parse_ovl(ovl_bytes, min_len, float(min_idt))
+        return _graph_result_from_native(
+            sg_build(rows, cont, lfc, disable_chimer_bridge_removal))
     if ovl_bytes is not None:
         from ..native import parse_ovl
         rows, cont = parse_ovl(ovl_bytes, min_len, float(min_idt))

@@ -51,10 +51,15 @@ def _compose_ctg(edge_data, ctg_id, path_edges):
     return lines, total_score, ctg_length
 
 
-def tiling_paths(sg_edge_lines, utg_rows, ctg_rows):
+def tiling_paths(sg_edge_lines, utg_rows, ctg_rows, edge_data=None):
     """ctg paths -> (p_ctg tiling rows, a_ctg tiling rows)
-    (reference graph_to_path.py:134-326)."""
-    edge_data = _parse_sg_edge_lines(sg_edge_lines)
+    (reference graph_to_path.py:134-326).
+
+    edge_data may pass the G-edge dict directly
+    (GraphResult.tiling_edge_data(); identical to parsing the lines —
+    identities are round-tripped through the %5.2f format)."""
+    if edge_data is None:
+        edge_data = _parse_sg_edge_lines(sg_edge_lines)
     utg_data = _parse_utg_rows(utg_rows)
 
     p_lines: list[str] = []

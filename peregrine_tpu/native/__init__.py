@@ -22,7 +22,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "parse_ovl.cpp"),
         os.path.join(_DIR, "encode.cpp"),
         os.path.join(_DIR, "sort_pairs.cpp"),
-        os.path.join(_DIR, "build_pairs.cpp")]
+        os.path.join(_DIR, "build_pairs.cpp"),
+        os.path.join(_DIR, "sg_passes.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -515,6 +516,77 @@ def bucket_stream_fused(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
             bstart.ctypes.data_as(ctypes.c_void_p),
             bend.ctypes.data_as(ctypes.c_void_p))
     return ys, dirs, pos, bstart, bend
+
+
+_pp = ctypes.POINTER(ctypes.c_void_p)
+_lib.sg_build_c.argtypes = (
+    [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+     ctypes.c_int32, ctypes.c_int32, ctypes.c_int64]
+    + [_pp] * 8 + [_i64p]          # edge arrays + n_edges
+    + [_pp, _i64p]                 # chimer nodes
+    + [_pp, _i64p]                 # best_in nodes
+    + [_pp, _i64p])                # lines buffer
+_lib.sg_build_c.restype = ctypes.c_int32
+_lib.sg_free_c.argtypes = [ctypes.c_void_p] * 11
+
+
+def sg_build(rows: np.ndarray, cont: np.ndarray, lfc: bool,
+             disable_chimer: bool, fuzz: int = 500):
+    """String-graph construction + classification passes (sg_passes.cpp;
+    semantics of graph.string_graph, the Python oracle — byte-equal
+    sg_edges_list asserted in tests/test_graph.py).
+
+    Returns a dict with edge arrays (ev/ew node codes rid*2+end, label
+    rid/s/t, score int64, idt float32, cls uint8 0=G 1=C 2=R 3=S 4=TR),
+    chimer node codes (append order), best_in node codes (membership),
+    and the formatted sg_edges_list file bytes."""
+    rows = np.ascontiguousarray(rows)
+    if rows.dtype != OVL_ROW_DTYPE:
+        raise TypeError(f"sg_build: rows must be OVL_ROW_DTYPE, got {rows.dtype}")
+    cont = np.ascontiguousarray(cont, np.int32)
+    outs = [ctypes.c_void_p() for _ in range(11)]
+    n_edges = ctypes.c_int64()
+    n_chimer = ctypes.c_int64()
+    n_best = ctypes.c_int64()
+    lines_len = ctypes.c_int64()
+    rc = _lib.sg_build_c(
+        rows.ctypes.data_as(ctypes.c_void_p), len(rows),
+        cont.ctypes.data_as(ctypes.c_void_p), len(cont),
+        1 if lfc else 0, 1 if disable_chimer else 0, fuzz,
+        ctypes.byref(outs[0]), ctypes.byref(outs[1]), ctypes.byref(outs[2]),
+        ctypes.byref(outs[3]), ctypes.byref(outs[4]), ctypes.byref(outs[5]),
+        ctypes.byref(outs[6]), ctypes.byref(outs[7]), ctypes.byref(n_edges),
+        ctypes.byref(outs[8]), ctypes.byref(n_chimer),
+        ctypes.byref(outs[9]), ctypes.byref(n_best),
+        ctypes.byref(outs[10]), ctypes.byref(lines_len))
+    if rc != 0:
+        raise RuntimeError("sg_build_c failed")
+    ne = n_edges.value
+
+    def arr(p, dtype, count):
+        size = count * np.dtype(dtype).itemsize
+        if not count:
+            return np.zeros(0, dtype)
+        return np.frombuffer(ctypes.string_at(p.value, size), dtype).copy()
+
+    try:
+        res = {
+            "ev": arr(outs[0], np.int64, ne),
+            "ew": arr(outs[1], np.int64, ne),
+            "lrid": arr(outs[2], np.int64, ne),
+            "ls": arr(outs[3], np.int64, ne),
+            "lt": arr(outs[4], np.int64, ne),
+            "score": arr(outs[5], np.int64, ne),
+            "idt": arr(outs[6], np.float32, ne),
+            "cls": arr(outs[7], np.uint8, ne),
+            "chimer": arr(outs[8], np.int64, n_chimer.value),
+            "best_in": arr(outs[9], np.int64, n_best.value),
+            "lines": (ctypes.string_at(outs[10].value, lines_len.value)
+                      if lines_len.value else b""),
+        }
+    finally:
+        _lib.sg_free_c(*outs)
+    return res
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

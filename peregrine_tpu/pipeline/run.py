@@ -268,7 +268,13 @@ class Assembly:
                 ovl_bytes=f.read(), min_len=self.cfg.min_len,
                 min_idt=self.cfg.min_idt, lfc=self.cfg.lfc,
                 disable_chimer_bridge_removal=self.cfg.disable_chimer_bridge_removal)
-        _write_lines(os.path.join(asm, "sg_edges_list"), result.sg_edge_lines)
+        sg_path = os.path.join(asm, "sg_edges_list")
+        if result.sg_edge_bytes is not None:
+            with open(sg_path + ".tmp", "wb") as f:
+                f.write(result.sg_edge_bytes)
+            os.replace(sg_path + ".tmp", sg_path)
+        else:
+            _write_lines(sg_path, result.sg_edge_lines)
         _write_lines(os.path.join(asm, "chimers_nodes"), result.chimer_nodes)
 
         u_edge_data, ctg_rows, utg_rows, compound_rows = assemble_graph(result)
@@ -276,7 +282,9 @@ class Assembly:
         _write_lines(os.path.join(asm, "ctg_paths"), ctg_rows)
         _write_lines(os.path.join(asm, "c_path"), compound_rows)
 
-        p_lines, a_lines = tiling_paths(result.sg_edge_lines, utg_rows, ctg_rows)
+        p_lines, a_lines = tiling_paths(result.sg_edge_lines, utg_rows,
+                                        ctg_rows,
+                                        edge_data=result.tiling_edge_data())
         _write_lines(os.path.join(asm, "p_ctg_tiling_path"), p_lines)
         _write_lines(os.path.join(asm, "a_ctg_tiling_path"), a_lines)
 

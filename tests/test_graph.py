@@ -179,7 +179,50 @@ def test_native_ovl_parse_matches_python(tmp_path):
     ]
     res_py = generate_string_graph(list(lines), min_len=4000, min_idt=96)
     blob = ("\n".join(lines) + "\n").encode()
-    res_cc = generate_string_graph(ovl_bytes=blob, min_len=4000, min_idt=96)
+    res_cc = generate_string_graph(ovl_bytes=blob, min_len=4000, min_idt=96,
+                                   use_native=False)
     assert res_py.sg_edge_lines == res_cc.sg_edge_lines
     assert res_py.chimer_nodes == res_cc.chimer_nodes
     assert sorted(res_py.edge_data) == sorted(res_cc.edge_data)
+
+
+def test_native_sg_passes_match_python_oracle(rng):
+    """The C++ graph classification (sg_passes.cpp) must reproduce the
+    Python passes byte-for-byte: sg_edges_list bytes, chimer nodes,
+    edge_data insertion order, node_attr, and all downstream layout and
+    tiling rows — under every flag combination."""
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.graph.tiling import tiling_paths
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.index import build_index
+    from peregrine_tpu.ops.overlap import overlap_chunk, ovlps_to_text
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2000,
+                    sketch_pad_len=8192, sketch_batch=16)
+    genome = random_genome(rng, 60000)
+    reads, _ = simulate_reads(rng, genome, read_len=3000, coverage=14.0)
+    db = SeqDB.from_reads(reads)
+    idx = build_index(db, cfg)
+    blob = ("\n".join(ovlps_to_text(overlap_chunk(db, idx, cfg)))
+            + "\n-\n").encode()
+
+    for kw in ({}, {"lfc": True}, {"disable_chimer_bridge_removal": True}):
+        py = generate_string_graph(ovl_bytes=blob, min_len=cfg.min_len,
+                                   min_idt=cfg.min_idt, use_native=False,
+                                   **kw)
+        na = generate_string_graph(ovl_bytes=blob, min_len=cfg.min_len,
+                                   min_idt=cfg.min_idt, use_native=True,
+                                   **kw)
+        exp = (("\n".join(py.sg_edge_lines) + "\n").encode()
+               if py.sg_edge_lines else b"")
+        assert na.sg_edge_bytes == exp, kw
+        assert na.chimer_nodes == py.chimer_nodes, kw
+        assert list(na.edge_data.items()) == list(py.edge_data.items()), kw
+        assert na.live.node_attr == py.live.node_attr, kw
+        u1, c1, g1, p1 = assemble_graph(py)
+        u2, c2, g2, p2 = assemble_graph(na)
+        assert (c1, g1, p1) == (c2, g2, p2), kw
+        t1 = tiling_paths(py.sg_edge_lines, g1, c1)
+        t2 = tiling_paths(None, g2, c2, edge_data=na.tiling_edge_data())
+        assert t1 == t2, kw
