@@ -204,7 +204,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "seqdb":
         from .io.seqdb import SeqDB
-        SeqDB.from_file_list(args.reads_lst).save(args.prefix)
+        # streamed: peak RSS stays bounded regardless of dataset size
+        SeqDB.build_to_disk(args.reads_lst, args.prefix)
         return 0
 
     if args.cmd == "dump-index":

@@ -166,6 +166,48 @@ class SeqDB:
         return cls.from_reads(gen())
 
     @classmethod
+    def build_to_disk(cls, list_path: str, prefix: str,
+                      progress=None) -> "SeqDB":
+        """Stream-encode a read manifest straight to <prefix>.seqdb/.idx.
+
+        Peak anonymous RSS is bounded by one read + the write buffer
+        instead of the whole packed array (the reference builds its seqdb
+        the same way — shmr_mkseqdb encodes and writes per read,
+        src/shmr_mkseqdb.c:83-118; a human-30x dataset is ~90 GB packed
+        and cannot be materialized).  Returns the reopened database as a
+        read-only memmap, so downstream stages read through the page
+        cache under OS memory pressure control."""
+        from ..native import encode_biseq_into
+        os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
+        buf = np.empty(1 << 22, np.uint8)
+        off = 0
+        rid = 0
+        with open(prefix + ".seqdb.tmp", "wb", buffering=1 << 22) as fd, \
+                open(prefix + ".idx.tmp", "w") as fi, \
+                open(list_path) as lf:
+            for line in lf:
+                path = line.strip()
+                if not path:
+                    continue
+                for name, seq in read_fastx(path):
+                    ln = len(seq)
+                    if ln > len(buf):
+                        buf = np.empty(ln, np.uint8)
+                    encode_biseq_into(seq, buf[:ln])
+                    fd.write(memoryview(buf[:ln]))
+                    fi.write(f"{rid:09d} {name} {ln} {off}\n")
+                    off += ln
+                    rid += 1
+                    if progress is not None and rid % 100000 == 0:
+                        progress(rid, off)
+        # .seqdb lands before .idx — resume trusts .idx, so a crash
+        # between the renames cannot yield a checkpoint with a short
+        # data file
+        os.replace(prefix + ".seqdb.tmp", prefix + ".seqdb")
+        os.replace(prefix + ".idx.tmp", prefix + ".idx")
+        return cls.open(prefix)
+
+    @classmethod
     def open(cls, prefix: str) -> "SeqDB":
         names, offs, lens = [], [], []
         with open(prefix + ".idx") as f:

@@ -59,6 +59,19 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(path)
 
 
+def _peak_rss_gb() -> float:
+    """Process high-water anonymous+file RSS in GB (VmHWM); logged after
+    every stage so scale runs record a measured memory budget."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmHWM"):
+                    return int(ln.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 0.0
+
+
 def _write_lines(path: str, lines) -> None:
     # checkpoint files are written atomically (tmp + rename) so a crash
     # mid-write cannot leave a truncated file that resume trusts
@@ -128,16 +141,26 @@ class Assembly:
         prefix = os.path.join(self.outdir, "0-seqdb", "seq_dataset")
         if _stage_done(prefix + ".idx") and reads is None:
             self.db = SeqDB.open(prefix)
+        elif reads is None:
+            # manifest input streams straight to disk: peak RSS is one
+            # read + the write buffer, not the packed array (90 GB at
+            # human-30x scale); the pipeline then reads back through a
+            # page-cache-governed memmap
+            t0 = time.time()
+            self.db = SeqDB.build_to_disk(reads_list, prefix)
+            log.info("stage 0 seqdb: %d reads, %d bases (%.1fs streamed "
+                     "to disk; peak RSS %.1f GB)", len(self.db),
+                     int(self.db.lengths.sum()), time.time() - t0,
+                     _peak_rss_gb())
         else:
             t0 = time.time()
-            self.db = (SeqDB.from_file_list(reads_list) if reads is None
-                       else SeqDB.from_reads(reads))
-            # the checkpoint write (7.5 GB at 250 Mb scale) overlaps the
-            # index stage: every in-process consumer uses the in-memory
-            # db; only the consensus window threads re-open the FILE, so
-            # _polish joins this thread first.  save() writes .seqdb
-            # before .idx, and resume trusts .idx — a crash mid-write
-            # cannot leave a checkpoint that resume believes complete.
+            self.db = SeqDB.from_reads(reads)
+            # the checkpoint write overlaps the index stage: every
+            # in-process consumer uses the in-memory db; only the
+            # consensus window threads re-open the FILE, so _polish
+            # joins this thread first.  save() writes .seqdb before
+            # .idx, and resume trusts .idx — a crash mid-write cannot
+            # leave a checkpoint that resume believes complete.
             import threading
             self._save_thread = threading.Thread(
                 target=self.db.save, args=(prefix,), name="seqdb-save")
@@ -167,9 +190,11 @@ class Assembly:
             else:
                 self.idx = build_index(self.db, self.cfg)
             self.idx.save(prefix, level=level)
-            log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs%s)",
+            log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs%s; "
+                     "peak RSS %.1f GB)",
                      len(self.idx.x), len(self.idx.mc_hash), time.time() - t0,
-                     f"; mesh of {mesh_n}" if mesh_n > 1 else "")
+                     f"; mesh of {mesh_n}" if mesh_n > 1 else "",
+                     _peak_rss_gb())
         return self.idx
 
     def _pair_map(self):
@@ -251,8 +276,9 @@ class Assembly:
                            else None))
             lines = ovlps_to_text(ovlps)
             _write_lines(path, lines + ["-"])
-            log.info("stage 2 overlap: %d records -> %d rows (%.1fs)",
-                     len(ovlps), len(lines), time.time() - t0)
+            log.info("stage 2 overlap: %d records -> %d rows (%.1fs; "
+                     "peak RSS %.1f GB)",
+                     len(ovlps), len(lines), time.time() - t0, _peak_rss_gb())
         return path
 
     # --- stage 3: layout + draft contigs --------------------------------
@@ -300,8 +326,10 @@ class Assembly:
             with open(os.path.join(asm, "a_ctg.fa"), "w") as f:
                 for name, seq in a_contigs:
                     f.write(f">{name}\n{seq.decode()}\n")
-        log.info("stage 3 layout: %d contigs, %d bases (%.1fs)",
-                 len(contigs), sum(len(s) for _, s in contigs), time.time() - t0)
+        log.info("stage 3 layout: %d contigs, %d bases (%.1fs; "
+                 "peak RSS %.1f GB)",
+                 len(contigs), sum(len(s) for _, s in contigs),
+                 time.time() - t0, _peak_rss_gb())
         return fa
 
     # --- stage 4: mapping + consensus polish ----------------------------
@@ -365,7 +393,8 @@ class Assembly:
                 f.write(f">{ctg_db.names[ctg_rid]}\n"
                         f"{seqs[ctg_rid].decode()}\n")
         os.replace(out_fa + ".tmp", out_fa)
-        log.info("stage 4 consensus done (%.1fs)", time.time() - t0)
+        log.info("stage 4 consensus done (%.1fs; peak RSS %.1f GB)",
+                 time.time() - t0, _peak_rss_gb())
         return out_fa
 
     def run_draft(self, reads=None, reads_list: str | None = None) -> str:

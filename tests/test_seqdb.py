@@ -53,6 +53,30 @@ def test_seqdb_files(tmp_path, rng):
         assert db2.names[i] == name
 
 
+def test_build_to_disk_matches_in_memory(tmp_path, rng):
+    """The streamed builder must write byte-identical .seqdb/.idx files to
+    the in-memory from_reads + save path (same codec, same idx rows)."""
+    reads = [(f"read/{i}", random_seq(rng, rng.integers(100, 400)))
+             for i in range(25)]
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{seq.decode()}\n")
+    lst = tmp_path / "reads.lst"
+    lst.write_text(str(fa) + "\n")
+
+    mem_prefix = str(tmp_path / "mem")
+    SeqDB.from_reads(reads).save(mem_prefix)
+    disk_prefix = str(tmp_path / "disk")
+    db = SeqDB.build_to_disk(str(lst), disk_prefix)
+
+    assert open(mem_prefix + ".seqdb", "rb").read() == \
+        open(disk_prefix + ".seqdb", "rb").read()
+    assert open(mem_prefix + ".idx").read() == \
+        open(disk_prefix + ".idx").read()
+    assert db.seq(3) == reads[3][1]
+
+
 def test_fastx_reader(tmp_path, rng):
     fa = tmp_path / "t.fa"
     seqs = {f"s{i}": random_seq(rng, 120) for i in range(3)}
