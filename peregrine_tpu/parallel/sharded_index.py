@@ -258,10 +258,21 @@ def sharded_index_host(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray,
         lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
         rids = np.concatenate([rids, np.zeros(pad, rids.dtype)])
     cap = cap_per_pair or max(256, (B + n - 1) // n * L // (8 * n) * 2)
-    rx, ry, nv, sent, overflow = jax.device_get(
-        sharded_index(mesh, jnp.asarray(codes), jnp.asarray(lengths),
-                      jnp.asarray(rids), w=w, k=k, r=r, levels=levels,
-                      cap_per_pair=cap))
+    out = sharded_index(mesh, jnp.asarray(codes), jnp.asarray(lengths),
+                        jnp.asarray(rids), w=w, k=k, r=r, levels=levels,
+                        cap_per_pair=cap)
+    if jax.process_count() > 1:
+        # multi-controller: device_get cannot read non-addressable shards.
+        # Re-shard to fully-replicated (an all-gather collective every
+        # rank executes in lockstep), after which every shard is local and
+        # each host sees the identical full index — the host stages that
+        # consume it run on rank 0.
+        from jax.sharding import NamedSharding
+        rep = jax.jit(lambda t: t,
+                      out_shardings=NamedSharding(mesh, P()))(out)
+        rx, ry, nv, sent, overflow = (np.asarray(o) for o in rep)
+    else:
+        rx, ry, nv, sent, overflow = jax.device_get(out)
     if (sent > cap).any():
         raise ValueError(f"all_to_all capacity {cap} overflowed: {sent.max()}")
     if overflow.any():

@@ -404,6 +404,60 @@ class Assembly:
         self.build_overlaps()
         return self.build_contigs()
 
+    def run_multihost(self, reads_list: str, with_consensus: bool = False
+                      ) -> str | None:
+        """Multi-process pipeline over a shared filesystem (the mesh analog
+        of the reference's chunk-process fan-out,
+        py/scripts/pg_run.py:254-342 + README multi-machine guidance).
+
+        Every process must have called jax.distributed.initialize
+        (parallel.distributed.init_distributed) first.  Rank 0 runs the
+        host stages (seqdb build, overlap, layout, consensus) and writes
+        every output; ALL ranks execute stage 1 over the global device
+        mesh in lockstep (data-parallel sketch + hash all_to_all +
+        replicating gather), so the index computation scales with the
+        pod while the checkpoint files stay rank-0-owned.  Returns the
+        final fasta path on rank 0, None elsewhere."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        from ..parallel.sharded_index import build_index_mesh, make_mesh
+
+        primary = jax.process_index() == 0
+        if primary:
+            self.build_db(reads_list=reads_list)
+        multihost_utils.sync_global_devices("pg-tpu stage0")
+        if not primary:
+            self.db = SeqDB.open(
+                os.path.join(self.outdir, "0-seqdb", "seq_dataset"))
+
+        prefix = os.path.join(self.outdir, "1-index", "shmr")
+        level = self.cfg.levels
+        mm = f"{prefix}-L{level}-01-of-01.dat"
+        if _stage_done(mm):
+            self.idx = ShimmerIndex.load_chunks(
+                [mm], [f"{prefix}-L{level}-MC-01-of-01.dat"])
+        else:
+            t0 = time.time()
+            mesh = make_mesh()  # the global (possibly multi-host) mesh
+            self.idx = build_index_mesh(self.db, self.cfg, mesh=mesh)
+            if primary:
+                self.idx.save(prefix, level=level)
+                log.info("stage 1 index [multihost x%d over %d devices]: "
+                         "%d SHIMMERs (%.1fs)", jax.process_count(),
+                         len(jax.devices()), len(self.idx.x),
+                         time.time() - t0)
+        multihost_utils.sync_global_devices("pg-tpu stage1")
+
+        fa = None
+        if primary:
+            self.build_overlaps()
+            fa = self.build_contigs()
+            if with_consensus:
+                fa = self.build_consensus()
+        multihost_utils.sync_global_devices("pg-tpu final")
+        return fa
+
     def run(self, reads=None, reads_list: str | None = None,
             with_consensus: bool = True) -> str:
         """Full pipeline; returns the final fasta path."""
