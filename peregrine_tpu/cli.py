@@ -86,6 +86,11 @@ def main(argv=None) -> int:
                      help="shard the seqdb across all devices and route "
                           "alignment requests over ICI (for dbs larger "
                           "than one chip's HBM); implies --device-aligner")
+    asm.add_argument("--device-pairs", action="store_true",
+                     help="build the overlap pair map on the TPU (byte-"
+                          "identical output; wins on locally-attached "
+                          "chips, loses to the threaded host build when "
+                          "the device link is a remote tunnel)")
     asm.add_argument("--profile-dir", default=None,
                      help="write a jax.profiler trace of the run here")
     asm.add_argument("--mesh", action="store_true",
@@ -152,7 +157,8 @@ def main(argv=None) -> int:
             disable_chimer_bridge_removal=args.disable_chimer_bridge_removal,
             use_device_aligner=args.device_aligner or args.shard_overlap,
             hybrid_overlap=args.hybrid_overlap,
-            shard_overlap=args.shard_overlap, mesh=args.mesh)
+            shard_overlap=args.shard_overlap, mesh=args.mesh,
+            device_pairs=args.device_pairs)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt,
                            on_config_change=args.on_config_change)
         if args.profile_dir:

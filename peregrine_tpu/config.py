@@ -73,6 +73,14 @@ class AsmConfig:
     #                                 route alignment requests via all_to_all
     #                                 (parallel/sharded_overlap.py); for
     #                                 dbs larger than one chip's HBM
+    device_pairs: bool = False      # build the overlap pair map on the TPU
+    #                                 (ops/device_pairs.py: sorts + u32
+    #                                 elementwise; byte-identical output).
+    #                                 On-chip compute is ~10x the host
+    #                                 build, but host<->device transfer
+    #                                 dominates on remote/tunneled devices
+    #                                 — enable on locally-attached TPUs
+    #                                 (BENCH.md round 3)
 
     def replace(self, **kw) -> "AsmConfig":
         return dataclasses.replace(self, **kw)

@@ -486,6 +486,24 @@ def build_pairs_fused(x: np.ndarray, y: np.ndarray, mc_hash: np.ndarray,
     return key0, key1, y0, y1, direction
 
 
+_lib.sort_by_y_c.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_int64]
+
+
+def sort_by_y(y: np.ndarray, x: np.ndarray) -> None:
+    """In-place threaded stable sort of the (x, y) index arrays by y
+    (build_pairs.cpp); order identical to np.argsort(y, kind='stable')."""
+    for a, name in ((y, "y"), (x, "x")):
+        if a.dtype != np.uint64:
+            raise TypeError(f"sort_by_y: {name} must be uint64")
+        if not a.flags.c_contiguous:
+            raise ValueError(f"sort_by_y: {name} must be C-contiguous")
+    if len(x) != len(y):
+        raise ValueError("sort_by_y: length mismatch")
+    _lib.sort_by_y_c(y.ctypes.data_as(ctypes.c_void_p),
+                     x.ctypes.data_as(ctypes.c_void_p), len(y))
+
+
 def bucket_stream_fused(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
                         direction: np.ndarray, ovlp_upper: int):
     """Threaded bucket-stream build over the sorted pair map

@@ -223,6 +223,45 @@ int64_t pair_fill_c(const uint64_t *x, const uint64_t *y, int64_t n,
   return nf_total + nr_total;
 }
 
+// Threaded stable sort of (y, x) by y — the mesh-index seam's
+// rid-order restore (parallel/sharded_index.py::build_index_mesh used a
+// one-core numpy argsort here).  Same 2-thread sampled-pivot scheme as
+// sort_pairs_c.
+void sort_by_y_c(uint64_t *y, uint64_t *x, int64_t n) {
+  if (n <= 1) return;
+  struct Rec {
+    uint64_t k;
+    int64_t row;
+  };
+  std::vector<Rec> recs((size_t)n);
+  for (int64_t i = 0; i < n; i++) recs[i] = {y[i], i};
+  auto less = [](const Rec &a, const Rec &b) {
+    if (a.k != b.k) return a.k < b.k;
+    return a.row < b.row;  // stability
+  };
+  const int kS = 257;
+  std::vector<uint64_t> smp;
+  smp.reserve(kS);
+  for (int i = 0; i < kS; i++)
+    smp.push_back(y[(size_t)((__int128)i * (n - 1) / (kS - 1))]);
+  std::nth_element(smp.begin(), smp.begin() + kS / 2, smp.end());
+  const uint64_t pivot = smp[kS / 2];
+  auto *mid = std::partition(recs.data(), recs.data() + n,
+                             [&](const Rec &r) { return r.k < pivot; });
+  std::thread t([&] { std::sort(recs.data(), mid, less); });
+  std::sort(mid, recs.data() + n, less);
+  t.join();
+  std::vector<uint64_t> tmp((size_t)n);
+  for (uint64_t *arr : {y, x}) {
+    std::thread p([&] {
+      for (int64_t i = 0; i < n / 2; i++) tmp[i] = arr[recs[i].row];
+    });
+    for (int64_t i = n / 2; i < n; i++) tmp[i] = arr[recs[i].row];
+    p.join();
+    std::memcpy(arr, tmp.data(), (size_t)n * sizeof(uint64_t));
+  }
+}
+
 // Stream pass 1: over the (key0, key1)-sorted records find bucket runs,
 // count eligible buckets (2 < size <= ovlp_upper) and their total record
 // count.  out[0] = n_stream records, out[1] = n_eligible buckets.

@@ -203,10 +203,17 @@ class Assembly:
         shmr_overlap AND shmr_map; it costs ~41 s at Drosophila scale), so
         it is built once and shared.  Freed after consensus."""
         if self._pairs is None:
-            from ..ops.overlap import build_pairs
-            self._pairs = build_pairs(
-                self.idx, self.db.lengths, 1, 1, self.cfg.mc_lower,
-                self.cfg.mc_upper, self.cfg.min_anchor_dist)
+            if self.cfg.device_pairs:
+                from ..ops.device_pairs import build_pairs_device
+                self._pairs, _ = build_pairs_device(
+                    self.idx, self.db.lengths, self.cfg.mc_lower,
+                    self.cfg.mc_upper, self.cfg.min_anchor_dist,
+                    self.cfg.ovlp_upper)
+            else:
+                from ..ops.overlap import build_pairs
+                self._pairs = build_pairs(
+                    self.idx, self.db.lengths, 1, 1, self.cfg.mc_lower,
+                    self.cfg.mc_upper, self.cfg.min_anchor_dist)
         return self._pairs
 
     # --- stage 2: overlaps ---------------------------------------------

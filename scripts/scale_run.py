@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--device-overlap", action="store_true")
     ap.add_argument("--hybrid-overlap", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--manifest", action="store_true",
+                    help="stream simulated reads to a FASTA + manifest and "
+                         "assemble via the bounded-RSS reads_list path "
+                         "(reads never materialize in memory)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,23 +60,60 @@ def main():
     glen = int(args.genome_mb * 1e6)
     t0 = time.time()
     genome = random_genome(rng, glen)
-    reads, truth = simulate_reads(rng, genome, read_len=args.read_len,
-                                  coverage=args.coverage, len_sd=args.read_len // 10,
-                                  error=args.error, circular_wrap=args.wrap_kb * 1000)
     os.makedirs(args.outdir, exist_ok=True)
-    with open(os.path.join(args.outdir, "truth.tsv"), "w") as f:
-        for i, (s, e, strand) in enumerate(truth):
-            f.write(f"{i} {s} {e} {strand}\n")
-    print(f"simulated {len(reads)} reads "
-          f"({sum(len(s) for _, s in reads)/1e6:.0f} Mbases, "
-          f"{time.time()-t0:.0f}s)", flush=True)
+    if args.manifest:
+        # stream each simulated read straight to disk (mutate per read),
+        # then assemble through the streamed manifest path — reads and
+        # the packed seqdb never materialize in RAM
+        from simdata import mutate
+        from peregrine_tpu.io.seqdb import revcomp as _rc
+        g = genome + genome[:args.wrap_kb * 1000]
+        n_reads = int(args.coverage * len(g) / args.read_len)
+        fa_path = os.path.join(args.outdir, "reads.fa")
+        total_bases = 0
+        with open(fa_path, "w", buffering=1 << 22) as f:
+            for i in range(n_reads):
+                rl = max(args.read_len // 3,
+                         int(args.read_len + rng.normal(0, args.read_len // 10)))
+                s = int(rng.integers(0, max(1, len(g) - rl)))
+                seq = mutate(rng, g[s:s + rl], args.error)
+                strand = int(rng.integers(0, 2))
+                if strand:
+                    seq = _rc(seq)
+                f.write(f">sim/{i:07d}/{strand}\n{seq.decode()}\n")
+                total_bases += len(seq)
+        lst = os.path.join(args.outdir, "reads.lst")
+        with open(lst, "w") as f:
+            f.write(fa_path + "\n")
+        reads = None
+        print(f"simulated {n_reads} reads to disk "
+              f"({total_bases/1e6:.0f} Mbases, {time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        reads, truth = simulate_reads(
+            rng, genome, read_len=args.read_len, coverage=args.coverage,
+            len_sd=args.read_len // 10, error=args.error,
+            circular_wrap=args.wrap_kb * 1000)
+        with open(os.path.join(args.outdir, "truth.tsv"), "w") as f:
+            for i, (s, e, strand) in enumerate(truth):
+                f.write(f"{i} {s} {e} {strand}\n")
+        print(f"simulated {len(reads)} reads "
+              f"({sum(len(s) for _, s in reads)/1e6:.0f} Mbases, "
+              f"{time.time()-t0:.0f}s)", flush=True)
 
     cfg = AsmConfig(sketch_pad_len=32768, sketch_batch=256,
                     use_device_aligner=args.device_overlap,
                     hybrid_overlap=args.hybrid_overlap)
     asm = Assembly(args.outdir, cfg)
     stages = []
-    for name, fn in (("seqdb", lambda: asm.build_db(reads=reads)),
+
+    def _stage0():
+        if reads is None:
+            return asm.build_db(reads_list=os.path.join(args.outdir,
+                                                        "reads.lst"))
+        return asm.build_db(reads=reads)
+
+    for name, fn in (("seqdb", _stage0),
                      ("index", asm.build_shimmer_index),
                      ("overlap", asm.build_overlaps),
                      ("layout", asm.build_contigs),

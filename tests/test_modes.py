@@ -41,6 +41,23 @@ def test_keep_l0_index(rng, tmp_path):
     np.testing.assert_array_equal(x, l0.x)
 
 
+def test_device_pairs_mode(tmp_path, rng):
+    """cfg.device_pairs routes the shared pair map through the device
+    build; the whole pipeline output must stay byte-identical."""
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=14.0)
+    outs = []
+    for sub, dev in (("host", False), ("dev", True)):
+        cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                        sketch_pad_len=8192, sketch_batch=16,
+                        device_pairs=dev)
+        fa = Assembly(str(tmp_path / sub), cfg).run_draft(reads=reads)
+        outs.append(open(fa, "rb").read())
+        ovl = open(str(tmp_path / sub / "2-ovlp/preads.ovl"), "rb").read()
+        outs.append(ovl)
+    assert outs[0] == outs[2] and outs[1] == outs[3]
+
+
 def test_with_alt_contigs(tmp_path, rng):
     """A heterozygous bubble produces an alternate contig path."""
     genome = random_genome(rng, 50000)
