@@ -86,6 +86,11 @@ def main(argv=None) -> int:
                      help="shard the seqdb across all devices and route "
                           "alignment requests over ICI (for dbs larger "
                           "than one chip's HBM); implies --device-aligner")
+    asm.add_argument("--spill-dir", default=None,
+                     help="back the overlap pair map / bucket stream with "
+                          "unlinked files in this directory instead of "
+                          "anonymous memory (bounded-RSS mode for hosts "
+                          "smaller than the dataset; output unchanged)")
     asm.add_argument("--device-pairs", action="store_true",
                      help="build the overlap pair map on the TPU (byte-"
                           "identical output; wins on locally-attached "
@@ -158,7 +163,7 @@ def main(argv=None) -> int:
             use_device_aligner=args.device_aligner or args.shard_overlap,
             hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap, mesh=args.mesh,
-            device_pairs=args.device_pairs)
+            device_pairs=args.device_pairs, spill_dir=args.spill_dir)
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt,
                            on_config_change=args.on_config_change)
         if args.profile_dir:

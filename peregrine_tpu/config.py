@@ -73,6 +73,13 @@ class AsmConfig:
     #                                 route alignment requests via all_to_all
     #                                 (parallel/sharded_overlap.py); for
     #                                 dbs larger than one chip's HBM
+    spill_dir: str | None = None    # back the pair map / bucket stream
+    #                                 with unlinked files here instead of
+    #                                 anonymous memory (bounded-RSS mode
+    #                                 for hosts smaller than the dataset;
+    #                                 reference analog: ovlp_nchunk on
+    #                                 32 GB hosts, README.md:127-130).
+    #                                 Output bytes are unchanged.
     device_pairs: bool = False      # build the overlap pair map on the TPU
     #                                 (ops/device_pairs.py: sorts + u32
     #                                 elementwise; byte-identical output).

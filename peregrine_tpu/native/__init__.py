@@ -441,14 +441,32 @@ def _cptr(a: np.ndarray, dt, name: str):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
+def _alloc(shape, dtype, spill_dir, tag):
+    """np.empty, or a delete-on-close file-backed memmap when spill_dir is
+    set — the pair map's anonymous footprint (~0.9 GB at 250 Mb, ~14 GB
+    at human-30x) then lives under page-cache control instead of RSS."""
+    if spill_dir is None or int(np.prod(shape)) == 0:
+        return np.empty(shape, dtype)
+    import tempfile
+    f = tempfile.NamedTemporaryFile(dir=spill_dir, prefix=f"pg-{tag}-")
+    n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    f.truncate(max(n, 1))
+    a = np.memmap(f, dtype=dtype, mode="w+", shape=shape)
+    a._pg_spill_file = f  # keep the fd alive; file is already unlinked
+    return a
+
+
 def build_pairs_fused(x: np.ndarray, y: np.ndarray, mc_hash: np.ndarray,
                       mc_count: np.ndarray, read_lengths: np.ndarray,
                       mc_lower: int, mc_upper: int, min_dist: int,
-                      chunk: int = 1, total_chunk: int = 1):
+                      chunk: int = 1, total_chunk: int = 1,
+                      spill_dir: str | None = None):
     """Fused threaded pair-map build (build_pairs.cpp): MC gates +
     adjacency + orientation flips + stable (key0, key1) sort in three
     linear passes.  Byte-identical to ops.overlap.build_pairs (asserted
-    in tests/test_overlap.py).  Returns (key0, key1, y0, y1, dir)."""
+    in tests/test_overlap.py).  Returns (key0, key1, y0, y1, dir).
+    spill_dir: back the output arrays with unlinked files there instead
+    of anonymous memory (bounded-RSS mode)."""
     n = len(x)
     xp = _cptr(x, np.uint64, "x")
     yp = _cptr(y, np.uint64, "y")
@@ -463,11 +481,11 @@ def build_pairs_fused(x: np.ndarray, y: np.ndarray, mc_hash: np.ndarray,
     if n_cand == 0:
         return z64, z64, z64, z64, np.zeros(0, np.uint8)
     cap = 2 * n_cand  # exact when total_chunk == 1; upper bound otherwise
-    key0 = np.empty(cap, np.uint64)
-    key1 = np.empty(cap, np.uint64)
-    y0 = np.empty(cap, np.uint64)
-    y1 = np.empty(cap, np.uint64)
-    direction = np.empty(cap, np.uint8)
+    key0 = _alloc(cap, np.uint64, spill_dir, "key0")
+    key1 = _alloc(cap, np.uint64, spill_dir, "key1")
+    y0 = _alloc(cap, np.uint64, spill_dir, "y0")
+    y1 = _alloc(cap, np.uint64, spill_dir, "y1")
+    direction = _alloc(cap, np.uint8, spill_dir, "dir")
     total = _lib.pair_fill_c(
         xp, yp, n, keep.ctypes.data_as(ctypes.c_void_p),
         rl.ctypes.data_as(ctypes.c_void_p), min_dist,
@@ -479,9 +497,14 @@ def build_pairs_fused(x: np.ndarray, y: np.ndarray, mc_hash: np.ndarray,
         direction.ctypes.data_as(ctypes.c_void_p))
     del keep
     if total < cap:
-        key0, key1 = key0[:total].copy(), key1[:total].copy()
-        y0, y1 = y0[:total].copy(), y1[:total].copy()
-        direction = direction[:total].copy()
+        if spill_dir is None:
+            key0, key1 = key0[:total].copy(), key1[:total].copy()
+            y0, y1 = y0[:total].copy(), y1[:total].copy()
+            direction = direction[:total].copy()
+        else:  # keep the file backing; views stay contiguous
+            key0, key1 = key0[:total], key1[:total]
+            y0, y1 = y0[:total], y1[:total]
+            direction = direction[:total]
     sort_pairs(key0, key1, y0, y1, direction)
     return key0, key1, y0, y1, direction
 
@@ -505,7 +528,8 @@ def sort_by_y(y: np.ndarray, x: np.ndarray) -> None:
 
 
 def bucket_stream_fused(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
-                        direction: np.ndarray, ovlp_upper: int):
+                        direction: np.ndarray, ovlp_upper: int,
+                        spill_dir: str | None = None):
     """Threaded bucket-stream build over the sorted pair map
     (build_pairs.cpp): run-length buckets, size gate, stable
     descending-position order within each bucket — identical to the
@@ -520,9 +544,9 @@ def bucket_stream_fused(key0: np.ndarray, key1: np.ndarray, y0: np.ndarray,
     _lib.bucket_stream_scan_c(k0p, k1p, n, ovlp_upper,
                               out2.ctypes.data_as(ctypes.c_void_p))
     n_stream, n_buckets = int(out2[0]), int(out2[1])
-    ys = np.empty(n_stream, np.uint64)
-    dirs = np.empty(n_stream, np.uint8)
-    pos = np.empty(n_stream, np.int64)
+    ys = _alloc(n_stream, np.uint64, spill_dir, "sys")
+    dirs = _alloc(n_stream, np.uint8, spill_dir, "sdir")
+    pos = _alloc(n_stream, np.int64, spill_dir, "spos")
     bstart = np.empty(n_buckets, np.int64)
     bend = np.empty(n_buckets, np.int64)
     if n_stream:

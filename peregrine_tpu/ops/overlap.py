@@ -79,7 +79,8 @@ def pair_candidates(idx: ShimmerIndex, mc_lower: int = 2,
 def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
                 chunk: int = 1, total_chunk: int = 1,
                 mc_lower: int = 2, mc_upper: int = 240,
-                min_dist: int = 100, cand=None):
+                min_dist: int = 100, cand=None,
+                spill_dir: str | None = None):
     """Oriented adjacent-SHIMMER pair records (build_map semantics,
     src/shmr_utils.c:295-404).
 
@@ -98,7 +99,8 @@ def build_pairs(idx: ShimmerIndex, read_lengths: np.ndarray,
             np.ascontiguousarray(idx.y, np.uint64),
             np.ascontiguousarray(idx.mc_hash, np.uint64),
             np.ascontiguousarray(idx.mc_count, np.uint32),
-            read_lengths, mc_lower, mc_upper, min_dist, chunk, total_chunk)
+            read_lengths, mc_lower, mc_upper, min_dist, chunk, total_chunk,
+            spill_dir=spill_dir)
     return build_pairs_np(idx, read_lengths, chunk, total_chunk,
                           mc_lower, mc_upper, min_dist, cand)
 
@@ -167,7 +169,8 @@ def _bucket_bounds(key0: np.ndarray, key1: np.ndarray):
     return bounds[:-1], bounds[1:]
 
 
-def bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
+def bucket_stream(key0, key1, y0a, dira, ovlp_upper: int,
+                  spill_dir: str | None = None):
     """Fused native bucket-stream build (build_pairs.cpp): the
     _bucket_stream semantics (which remains the numpy oracle, asserted
     equal in tests/test_overlap.py) as two threaded linear passes.
@@ -178,7 +181,8 @@ def bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
         np.ascontiguousarray(key0, np.uint64),
         np.ascontiguousarray(key1, np.uint64),
         np.ascontiguousarray(y0a, np.uint64),
-        np.ascontiguousarray(dira, np.uint8), ovlp_upper)
+        np.ascontiguousarray(dira, np.uint8), ovlp_upper,
+        spill_dir=spill_dir)
 
 
 def _bucket_stream(key0, key1, y0a, dira, ovlp_upper: int):
@@ -626,7 +630,8 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         idx, db.lengths, 1, 1,
         cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
     _t1 = _t.time()
-    stream = bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper)
+    stream = bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper,
+                           spill_dir=cfg.spill_dir)
     log2.info("overlap dedup: pair map %.1fs (%d entries)%s + stream %.1fs",
               _t1 - _t0, len(key0), " [shared]" if pairs is not None else "",
               _t.time() - _t1)

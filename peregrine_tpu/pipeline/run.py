@@ -37,7 +37,8 @@ log = logging.getLogger("peregrine_tpu")
 # Batching/padding knobs that change execution shape but not outputs; a
 # resume may differ on these without invalidating stage checkpoints.
 _NON_SEMANTIC_CFG_FIELDS = frozenset(
-    {"sketch_pad_len", "sketch_batch", "aln_batch", "aln_max_len"})
+    {"sketch_pad_len", "sketch_batch", "aln_batch", "aln_max_len",
+     "spill_dir", "device_pairs"})
 
 
 class ConfigMismatchError(RuntimeError):
@@ -213,7 +214,8 @@ class Assembly:
                 from ..ops.overlap import build_pairs
                 self._pairs = build_pairs(
                     self.idx, self.db.lengths, 1, 1, self.cfg.mc_lower,
-                    self.cfg.mc_upper, self.cfg.min_anchor_dist)
+                    self.cfg.mc_upper, self.cfg.min_anchor_dist,
+                    spill_dir=self.cfg.spill_dir)
         return self._pairs
 
     # --- stage 2: overlaps ---------------------------------------------

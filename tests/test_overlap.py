@@ -77,6 +77,31 @@ def test_fused_pair_build_matches_numpy_oracle(rng):
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_spill_mode_byte_identical(tmp_path, rng):
+    """spill_dir-backed pair map + stream (bounded-RSS mode) must produce
+    the same bytes as the anonymous-memory build."""
+    from peregrine_tpu.ops.overlap import bucket_stream, overlap_all_spec
+
+    cfg = _cfg()
+    _, db, _ = _make(rng)
+    idx = build_index(db, cfg)
+    a = build_pairs(idx, db.lengths)
+    b = build_pairs(idx, db.lengths, spill_dir=str(tmp_path))
+    for x, y in zip(a, b):
+        assert (np.asarray(x) == np.asarray(y)).all()
+        assert isinstance(y, np.memmap)
+    sa = bucket_stream(a[0], a[1], a[2], a[4], cfg.ovlp_upper)
+    sb = bucket_stream(b[0], b[1], b[2], b[4], cfg.ovlp_upper,
+                       spill_dir=str(tmp_path))
+    for x, y in zip(sa, sb):
+        assert (np.asarray(x) == np.asarray(y)).all()
+    # the whole overlap stage accepts the spilled arrays
+    r1 = overlap_all_spec(db, idx, cfg, n_workers=2, pairs=a)
+    r2 = overlap_all_spec(db, idx, cfg.replace(spill_dir=str(tmp_path)),
+                          n_workers=2, pairs=b)
+    assert r1.tobytes() == r2.tobytes()
+
+
 def test_pair_sharding_partitions(rng):
     cfg = _cfg()
     _, db, _ = _make(rng)
