@@ -90,6 +90,34 @@ def measure_overlap_alignments() -> tuple[float, int]:
     return n_pairs / dt, workers
 
 
+def measure_pair_build() -> float:
+    """Fused pair-map + bucket-stream build (native/build_pairs.cpp) on a
+    synthetic SHIMMER index shaped like 30x reads (hash pool sized for
+    ~30x multiplicity, ~350 bp anchor spacing); returns records/s."""
+    from peregrine_tpu.native import build_pairs_fused, bucket_stream_fused
+
+    rng = np.random.default_rng(3)
+    n_reads, per_read = 12000, 400
+    n = n_reads * per_read
+    pool = rng.integers(1, 1 << 44, n // 30, dtype=np.uint64)
+    hashes = pool[rng.integers(0, len(pool), n)]
+    span = np.uint64(16)
+    x = (hashes << np.uint64(8)) | span
+    rid = np.repeat(np.arange(n_reads, dtype=np.uint64), per_read)
+    pos = np.tile((np.arange(per_read, dtype=np.uint64) + 1) * 350, n_reads)
+    strand = rng.integers(0, 2, n).astype(np.uint64)
+    y = (rid << np.uint64(32)) | (pos << np.uint64(1)) | strand
+    rl = np.full(n_reads, (per_read + 2) * 350, np.int64)
+    mh, counts = np.unique(hashes, return_counts=True)
+    t0 = time.time()
+    p = build_pairs_fused(x, y, mh, counts.astype(np.uint32), rl,
+                          2, 240, 100)
+    bucket_stream_fused(p[0], p[1], p[2], p[4], 120)
+    dt = time.time() - t0
+    assert len(p[0]) > n // 2
+    return len(p[0]) / dt
+
+
 def measure_cns_window() -> float:
     """Native consensus window core: one 100 kb template at 30x, 1% error
     (the stage-4 unit of work); returns seconds per window."""
@@ -166,6 +194,10 @@ def main() -> None:
         w_s = measure_cns_window()
         extra["cns_window_100kb_s"] = round(w_s, 4)
         extra["cns_windows_per_s"] = round(1.0 / w_s, 2)
+    except Exception:
+        pass
+    try:
+        extra["pair_build_records_per_s"] = round(measure_pair_build())
     except Exception:
         pass
 
