@@ -223,11 +223,15 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                     jnp.asarray(part.astype(np.uint32)),
                     w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=0))
         for b, rid in enumerate(part):
-            xs[rid] = xl[b, :cl[b]]
-            ys[rid] = yl[b, :cl[b]]
+            # .copy(): a bare slice is a VIEW that pins the whole padded
+            # [B, cap] drain buffer — holding views for every batch kept
+            # ~4x the tight record bytes alive (32 GB peak RSS at 500 Mb
+            # scale); copies free each buffer as soon as it is sliced
+            xs[rid] = xl[b, :cl[b]].copy()
+            ys[rid] = yl[b, :cl[b]].copy()
             if keep_l0:
-                l0xs[rid] = x0[b, :c0[b]]
-                l0ys[rid] = y0[b, :c0[b]]
+                l0xs[rid] = x0[b, :c0[b]].copy()
+                l0ys[rid] = y0[b, :c0[b]].copy()
 
     # long sequences (contigs/references) go through the fixed-shape
     # segmented path: one kernel shape regardless of sequence length
@@ -310,14 +314,21 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
         for grp, handles, pad in inflight:
             _drain(grp[0], handles, pad)
     elif inflight:
-        fetched = jax.device_get([h for _, h, _ in inflight])
-        for (grp, _, pad), vals in zip(inflight, fetched):
-            if len(grp) == 1:
-                _drain(grp[0], vals, pad, fetched=True)
-            else:  # scanned group: vals are [G, ...] stacked
-                for g, part in enumerate(grp):
-                    _drain(part, tuple(a[g] for a in vals), pad,
-                           fetched=True)
+        # bulk-get in GROUPS: one get per ~64 dispatches still amortizes
+        # the tunnel round trips, while the transient padded drain
+        # buffers stay bounded (~1-2 GB) instead of materializing every
+        # batch's [B, cap] planes at once
+        group = 64
+        for lo in range(0, len(inflight), group):
+            part_inflight = inflight[lo:lo + group]
+            fetched = jax.device_get([h for _, h, _ in part_inflight])
+            for (grp, _, pad), vals in zip(part_inflight, fetched):
+                if len(grp) == 1:
+                    _drain(grp[0], vals, pad, fetched=True)
+                else:  # scanned group: vals are [G, ...] stacked
+                    for g, part in enumerate(grp):
+                        _drain(part, tuple(a[g] for a in vals), pad,
+                               fetched=True)
 
     order = sorted(xs)
     x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)
