@@ -45,9 +45,14 @@ def test_draft_assembly_linear_genome(tmp_path, rng):
     assert len(longest) > 0.5 * len(genome)
     assert total > 0.8 * len(genome)
     assert total < 1.6 * len(genome)
-    # ~1% read error -> draft identity well above 97%
+    # the DRAFT (pre-consensus) is spelled from raw 1%-error read
+    # segments, so its measured identity sits just under 99% (0.9836 on
+    # this seed, greedy-aligner-measured); 0.98 bounds regressions
+    # without flaking on simulation noise.  The strict gate — the
+    # POLISHED contig must be an EXACT substring of the genome — lives
+    # in test_acceptance.py and supersedes this smoke bound.
     ident = _identity(longest, genome)
-    assert ident > 0.97, f"draft identity {ident:.3f}"
+    assert ident > 0.98, f"draft identity {ident:.4f}"
 
     # stage outputs exist in the reference layout
     for rel in ("0-seqdb/seq_dataset.idx", "1-index/shmr-L2-01-of-01.dat",
