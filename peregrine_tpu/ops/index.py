@@ -62,6 +62,24 @@ def index_step_db_meta(seqdb_rows, meta, *, L: int, w: int, k: int, r: int,
 INDEX_SCAN_GROUP = 16  # batches per scanned dispatch (fixed: stable shapes)
 
 
+@jax.jit
+def _compact_drain(x, y, c):
+    """Flatten padded [..., B, C] record planes and stable-sort the valid
+    entries to the front, preserving (batch, slot) order — so the host
+    fetches only the tight record bytes instead of ~12x padded planes
+    (the drain transfer was ~3 GB of the 250 Mb index stage's tunnel
+    traffic).  Returns (x_flat, y_flat, n_valid)."""
+    C = x.shape[-1]
+    xf = x.reshape(-1)
+    yf = y.reshape(-1)
+    cf = c.reshape(-1).astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1).reshape(-1)
+    valid = slot < jnp.repeat(cf, C)
+    inval = (~valid).astype(jnp.uint32)
+    _, xs_, ys_ = jax.lax.sort((inval, xf, yf), num_keys=1, is_stable=True)
+    return xs_, ys_, valid.sum()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("L", "w", "k", "r", "levels", "cap"))
 def index_step_db_scan(seqdb_rows, metas, *, L: int, w: int, k: int, r: int,
@@ -210,6 +228,18 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     l0xs: dict[int, np.ndarray] = {}
     l0ys: dict[int, np.ndarray] = {}
 
+    def _retry_exact(part, pad):
+        """Host slow path for (rare) drain-cap overflows: recompute the
+        batch with no cap and take exact per-read slices."""
+        codes, lens = db.padded_code_batch(part, pad)
+        xl, yl, cl, _ = jax.device_get(index_step(
+            jnp.asarray(codes), jnp.asarray(lens),
+            jnp.asarray(part.astype(np.uint32)),
+            w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=0))
+        for b, rid in enumerate(part):
+            xs[rid] = xl[b, :cl[b]].copy()
+            ys[rid] = yl[b, :cl[b]].copy()
+
     def _drain(part, handles, pad, fetched=False):
         if keep_l0:
             xl, yl, cl, x0, y0, c0 = jax.device_get(handles)
@@ -217,11 +247,7 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
             cap = max(256, pad // 8)
             xl, yl, cl, c0 = handles if fetched else jax.device_get(handles)
             if (c0 > cap).any() or (cl > xl.shape[1]).any():
-                codes, lens = db.padded_code_batch(part, pad)
-                xl, yl, cl, c0 = jax.device_get(index_step(
-                    jnp.asarray(codes), jnp.asarray(lens),
-                    jnp.asarray(part.astype(np.uint32)),
-                    w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=0))
+                return _retry_exact(part, pad)
         for b, rid in enumerate(part):
             # .copy(): a bare slice is a VIEW that pins the whole padded
             # [B, cap] drain buffer — holding views for every batch kept
@@ -294,41 +320,58 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 inflight.append(([part], (xl, yl, cl, x0, y0, c0), pad))
             continue
         # full scan groups go out as ONE dispatch of G batches; the
-        # remainder dispatches per batch (index_step_db_meta)
+        # remainder dispatches per batch (index_step_db_meta).  Each
+        # dispatch's padded [.., B, C] output planes are immediately
+        # compacted ON DEVICE (_compact_drain: one tiny stable sort by
+        # validity) so the drain transfers only the ~tight record bytes —
+        # the padded planes carried ~12x excess (~3 GB of the 250 Mb
+        # stage's tunnel traffic).
         G = INDEX_SCAN_GROUP
         i = 0
         while i + G <= len(parts):
             grp = parts[i:i + G]
             metas = np.stack([_meta_for(p, bsz) for p in grp])
-            handles = index_step_db_scan(
+            xl, yl, cl, c0 = index_step_db_scan(
                 seqdb_rows, jnp.asarray(metas), L=pad, w=cfg.w, k=cfg.k,
                 r=cfg.r, levels=cfg.levels, cap=cap)
-            inflight.append((grp, handles, pad))
+            inflight.append((grp, _compact_drain(xl, yl, cl) + (cl, c0),
+                             pad, int(xl.shape[-1])))
             i += G
         for part in parts[i:]:
-            handles = index_step_db_meta(
+            xl, yl, cl, c0 = index_step_db_meta(
                 seqdb_rows, jnp.asarray(_meta_for(part, bsz)), L=pad,
                 w=cfg.w, k=cfg.k, r=cfg.r, levels=cfg.levels, cap=cap)
-            inflight.append(([part], handles, pad))
+            inflight.append(([part], _compact_drain(xl, yl, cl) + (cl, c0),
+                             pad, int(xl.shape[-1])))
     if keep_l0:
         for grp, handles, pad in inflight:
             _drain(grp[0], handles, pad)
     elif inflight:
-        # bulk-get in GROUPS: one get per ~64 dispatches still amortizes
-        # the tunnel round trips, while the transient padded drain
-        # buffers stay bounded (~1-2 GB) instead of materializing every
-        # batch's [B, cap] planes at once
+        # two-phase grouped fetch: counts first (tiny), then only the
+        # valid prefix of each compacted stream — one pair of tunnel
+        # round trips per ~64 dispatches, transient buffers ~tight bytes
         group = 64
         for lo in range(0, len(inflight), group):
             part_inflight = inflight[lo:lo + group]
-            fetched = jax.device_get([h for _, h, _ in part_inflight])
-            for (grp, _, pad), vals in zip(part_inflight, fetched):
-                if len(grp) == 1:
-                    _drain(grp[0], vals, pad, fetched=True)
-                else:  # scanned group: vals are [G, ...] stacked
-                    for g, part in enumerate(grp):
-                        _drain(part, tuple(a[g] for a in vals), pad,
-                               fetched=True)
+            small = jax.device_get(
+                [(h[2], h[3], h[4]) for _, h, _, _ in part_inflight])
+            big = jax.device_get(
+                [(h[0][:int(t)], h[1][:int(t)])
+                 for (_, h, _, _), (t, _, _) in zip(part_inflight, small)])
+            for (grp, _, pad, C), (tot, cl, c0), (xf, yf) in zip(
+                    part_inflight, small, big):
+                cap = max(256, pad // 8)
+                clf = cl.reshape(-1)
+                if (c0 > cap).any() or (clf > C).any():
+                    for part in grp:
+                        _retry_exact(part, pad)
+                    continue
+                offs = np.zeros(len(clf) + 1, np.int64)
+                np.cumsum(clf, out=offs[1:])
+                parts_flat = np.concatenate(grp)
+                for b, rid in enumerate(parts_flat):
+                    xs[rid] = xf[offs[b]:offs[b + 1]].copy()
+                    ys[rid] = yf[offs[b]:offs[b + 1]].copy()
 
     order = sorted(xs)
     x = np.concatenate([xs[r] for r in order]) if order else np.zeros(0, np.uint64)
