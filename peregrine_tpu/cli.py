@@ -102,6 +102,12 @@ def main(argv=None) -> int:
                      help="run the index stage sharded over all devices "
                           "(data-parallel sketch + hash all_to_all); output "
                           "is identical to the single-device build")
+    asm.add_argument("--multihost", action="store_true",
+                     help="run under jax.distributed (launch one process "
+                          "per host with JAX coordinator env vars or "
+                          "TPU-pod metadata set): rank 0 executes the "
+                          "host stages and writes outputs, every rank "
+                          "executes stage 1 over the global device mesh")
     asm.add_argument("--on-config-change", default="error",
                      choices=("error", "clean", "ignore"),
                      help="resuming an outdir built with a different config: "
@@ -164,6 +170,20 @@ def main(argv=None) -> int:
             hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap, mesh=args.mesh,
             device_pairs=args.device_pairs, spill_dir=args.spill_dir)
+        if args.multihost:
+            import jax
+
+            from .parallel.distributed import init_distributed
+            if jax.process_count() == 1:
+                init_distributed()  # env/pod-metadata driven
+            asm_obj = Assembly(args.output, cfg.replace(mesh=True),
+                               with_alt=args.with_alt,
+                               on_config_change=args.on_config_change)
+            fa = asm_obj.run_multihost(args.reads_lst,
+                                       with_consensus=args.with_consensus)
+            if fa:
+                print(fa)
+            return 0
         asm_obj = Assembly(args.output, cfg, with_alt=args.with_alt,
                            on_config_change=args.on_config_change)
         if args.profile_dir:
