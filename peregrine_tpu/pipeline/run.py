@@ -205,11 +205,22 @@ class Assembly:
         it is built once and shared.  Freed after consensus."""
         if self._pairs is None:
             if self.cfg.device_pairs:
-                from ..ops.device_pairs import build_pairs_device
-                self._pairs, _ = build_pairs_device(
-                    self.idx, self.db.lengths, self.cfg.mc_lower,
-                    self.cfg.mc_upper, self.cfg.min_anchor_dist,
-                    self.cfg.ovlp_upper)
+                import jax
+                if self.cfg.mesh and len(jax.devices()) > 1:
+                    # pod composition: read-sharded build, records ride
+                    # the order-preserving hash-range all_to_all
+                    from ..parallel.sharded_index import make_mesh
+                    from ..parallel.sharded_pairs import build_pairs_mesh
+                    self._pairs, _ = build_pairs_mesh(
+                        self.idx, self.db.lengths, make_mesh(),
+                        self.cfg.mc_lower, self.cfg.mc_upper,
+                        self.cfg.min_anchor_dist, self.cfg.ovlp_upper)
+                else:
+                    from ..ops.device_pairs import build_pairs_device
+                    self._pairs, _ = build_pairs_device(
+                        self.idx, self.db.lengths, self.cfg.mc_lower,
+                        self.cfg.mc_upper, self.cfg.min_anchor_dist,
+                        self.cfg.ovlp_upper)
             else:
                 from ..ops.overlap import build_pairs
                 self._pairs = build_pairs(
