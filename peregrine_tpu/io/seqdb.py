@@ -167,7 +167,8 @@ class SeqDB:
 
     @classmethod
     def build_to_disk(cls, list_path: str, prefix: str,
-                      progress=None) -> "SeqDB":
+                      progress=None, chunk_sink=None,
+                      chunk_bases: int = 1 << 22) -> "SeqDB":
         """Stream-encode a read manifest straight to <prefix>.seqdb/.idx.
 
         Peak anonymous RSS is bounded by one read + the write buffer
@@ -182,6 +183,21 @@ class SeqDB:
         buf = np.empty(1 << 22, np.uint8)
         off = 0
         rid = 0
+        # chunk_sink (e.g. ops.dbgather.SeqDBUploader.feed) receives the
+        # encoded stream as it is produced, in pieces cut at 1024-base
+        # multiples — the device upload then overlaps the encode wall
+        pend: list = []
+        pend_n = 0
+
+        def _flush_sink(final: bool) -> None:
+            nonlocal pend, pend_n
+            cat = np.concatenate(pend) if len(pend) > 1 else pend[0]
+            cut = len(cat) if final else (len(cat) // 1024) * 1024
+            if cut:
+                chunk_sink(cat[:cut])
+            pend = [cat[cut:]] if cut < len(cat) else []
+            pend_n = len(cat) - cut
+
         with open(prefix + ".seqdb.tmp", "wb", buffering=1 << 22) as fd, \
                 open(prefix + ".idx.tmp", "w") as fi, \
                 open(list_path) as lf:
@@ -195,11 +211,18 @@ class SeqDB:
                         buf = np.empty(ln, np.uint8)
                     encode_biseq_into(seq, buf[:ln])
                     fd.write(memoryview(buf[:ln]))
+                    if chunk_sink is not None:
+                        pend.append(buf[:ln].copy())
+                        pend_n += ln
+                        if pend_n >= chunk_bases:
+                            _flush_sink(final=False)
                     fi.write(f"{rid:09d} {name} {ln} {off}\n")
                     off += ln
                     rid += 1
                     if progress is not None and rid % 100000 == 0:
                         progress(rid, off)
+            if chunk_sink is not None and pend:
+                _flush_sink(final=True)
         # .seqdb lands before .idx — resume trusts .idx, so a crash
         # between the renames cannot yield a checkpoint with a short
         # data file

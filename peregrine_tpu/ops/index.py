@@ -213,7 +213,7 @@ def _length_buckets(lengths: np.ndarray, unit: int) -> dict[int, np.ndarray]:
 
 
 def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
-                keep_l0: bool = False):
+                keep_l0: bool = False, seqdb_rows=None):
     """Build the final-level SHIMMER index for (a subset of) a SeqDB.
 
     Mirrors shmr_index semantics (sketch -> r-reduce x levels, counts of the
@@ -284,8 +284,10 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     # round trip (~0.3 s x dozens of batches dominated the stage wall)
     from .dbgather import upload_seqdb
     inflight: list = []
-    seqdb_rows = None
-    if len(rids_all) and not keep_l0:
+    if len(rids_all) and not keep_l0 and seqdb_rows is None:
+        # seqdb_rows may be pre-uploaded by the stage-0 background
+        # uploader (ops.dbgather.SeqDBUploader) — 51 s of transfer at
+        # 250 Mb scale that then hides under the encode wall
         seqdb_rows = upload_seqdb(db.data)
 
     # bucket unit finer than the max pad: 15 kb HiFi reads at a 32k unit

@@ -127,6 +127,7 @@ class Assembly:
         self.idx: ShimmerIndex | None = None
         self._save_thread = None  # async stage-0 checkpoint write
         self._pairs = None        # read pair map shared by stages 2 and 4
+        self._seqdb_uploader = None  # stage-0 background device upload
 
     def _invalidate_stages(self) -> None:
         """Remove config-dependent stage checkpoints (1-index through 4-cns
@@ -146,9 +147,18 @@ class Assembly:
             # manifest input streams straight to disk: peak RSS is one
             # read + the write buffer, not the packed array (90 GB at
             # human-30x scale); the pipeline then reads back through a
-            # page-cache-governed memmap
+            # page-cache-governed memmap.  On an accelerator backend the
+            # device seqdb upload (51 s at 250 Mb through the tunnel)
+            # runs CONCURRENTLY with the encode via the chunk sink.
             t0 = time.time()
-            self.db = SeqDB.build_to_disk(reads_list, prefix)
+            sink = None
+            import jax
+            if jax.default_backend() != "cpu" and not self.cfg.mesh:
+                from ..ops.dbgather import SeqDBUploader
+                self._seqdb_uploader = SeqDBUploader()
+                sink = self._seqdb_uploader.feed
+            self.db = SeqDB.build_to_disk(reads_list, prefix,
+                                          chunk_sink=sink)
             log.info("stage 0 seqdb: %d reads, %d bases (%.1fs streamed "
                      "to disk; peak RSS %.1f GB)", len(self.db),
                      int(self.db.lengths.sum()), time.time() - t0,
@@ -177,6 +187,10 @@ class Assembly:
         level = self.cfg.levels
         mm = f"{prefix}-L{level}-01-of-01.dat"
         mc = f"{prefix}-L{level}-MC-01-of-01.dat"
+        rows = None
+        if self._seqdb_uploader is not None:
+            rows = self._seqdb_uploader.finish()
+            self._seqdb_uploader = None
         if _stage_done(mm):
             self.idx = ShimmerIndex.load_chunks([mm], [mc])
         else:
@@ -189,7 +203,7 @@ class Assembly:
                 from ..parallel.sharded_index import build_index_mesh
                 self.idx = build_index_mesh(self.db, self.cfg)
             else:
-                self.idx = build_index(self.db, self.cfg)
+                self.idx = build_index(self.db, self.cfg, seqdb_rows=rows)
             self.idx.save(prefix, level=level)
             log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs%s; "
                      "peak RSS %.1f GB)",

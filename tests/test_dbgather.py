@@ -97,3 +97,52 @@ def test_pack_db_np_guard_and_planes(rng):
     np.testing.assert_array_equal(fw, want_fw.astype(np.uint8))
     np.testing.assert_array_equal(
         np.unpackbits(amb, bitorder="little")[:len(ambs)], ambs)
+
+
+def test_seqdb_uploader_matches_bulk_upload(rng):
+    """The incremental stage-0 uploader must produce planes bit-identical
+    to the one-shot upload_seqdb, including guard, padding class, and a
+    ragged final chunk."""
+    import numpy as np
+
+    from peregrine_tpu.ops.dbgather import SeqDBUploader, upload_seqdb
+
+    data = rng.integers(0, 16, size=3 * 1024 * 17 + 531, dtype=np.uint8)
+    want = upload_seqdb(data)
+    up = SeqDBUploader()
+    pos = 0
+    for step in (1024, 5 * 1024, 16 * 1024, 2 * 1024):
+        up.feed(data[pos:pos + step])
+        pos += step
+    up.feed(data[pos:])  # ragged tail
+    got = up.finish()
+    assert got.fw.shape == want.fw.shape
+    assert got.amb.shape == want.amb.shape
+    np.testing.assert_array_equal(np.asarray(got.fw), np.asarray(want.fw))
+    np.testing.assert_array_equal(np.asarray(got.amb), np.asarray(want.amb))
+
+
+def test_seqdb_uploader_via_build_to_disk(tmp_path, rng):
+    """build_to_disk's chunk sink feeds the uploader aligned chunks whose
+    concatenation is the full encoded stream."""
+    import numpy as np
+
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.dbgather import SeqDBUploader, upload_seqdb
+    from tests.conftest import random_seq
+
+    reads = [(f"r{i}", random_seq(rng, int(rng.integers(200, 3000))))
+             for i in range(40)]
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n{seq.decode()}\n")
+    lst = tmp_path / "r.lst"
+    lst.write_text(str(fa) + "\n")
+    up = SeqDBUploader()
+    db = SeqDB.build_to_disk(str(lst), str(tmp_path / "db"),
+                             chunk_sink=up.feed, chunk_bases=4096)
+    got = up.finish()
+    want = upload_seqdb(np.asarray(db.data))
+    np.testing.assert_array_equal(np.asarray(got.fw), np.asarray(want.fw))
+    np.testing.assert_array_equal(np.asarray(got.amb), np.asarray(want.amb))
