@@ -23,7 +23,8 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "encode.cpp"),
         os.path.join(_DIR, "sort_pairs.cpp"),
         os.path.join(_DIR, "build_pairs.cpp"),
-        os.path.join(_DIR, "sg_passes.cpp")]
+        os.path.join(_DIR, "sg_passes.cpp"),
+        os.path.join(_DIR, "write_ovl.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
@@ -629,6 +630,35 @@ def sg_build(rows: np.ndarray, cont: np.ndarray, lfc: bool,
     finally:
         _lib.sg_free_c(*outs)
     return res
+
+
+_lib.write_ovl_c.argtypes = [ctypes.c_void_p] * 12 + [
+    ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p]
+_lib.write_ovl_c.restype = ctypes.c_int64
+
+
+def write_ovl_rows(path: str, rid0, rid1, neg_m, err, a_bgn, a_end, rlen0,
+                   strand, b_bgn, b_end, rlen1, type_,
+                   terminator: bool = True) -> int:
+    """Stream preads.ovl rows to `path` (write_ovl.cpp); columns in
+    ovlps_to_text order.  Byte-identical to the Python formatter."""
+    n = len(rid0)
+    arrs = []
+    for a, dt, name in ((rid0, np.int64, "rid0"), (rid1, np.int64, "rid1"),
+                        (neg_m, np.int64, "neg_m"), (err, np.float64, "err"),
+                        (a_bgn, np.int64, "a_bgn"), (a_end, np.int64, "a_end"),
+                        (rlen0, np.int64, "rlen0"), (strand, np.int64, "strand"),
+                        (b_bgn, np.int64, "b_bgn"), (b_end, np.int64, "b_end"),
+                        (rlen1, np.int64, "rlen1"), (type_, np.uint8, "type")):
+        a = np.ascontiguousarray(a, dt)
+        if len(a) != n:
+            raise ValueError(f"write_ovl_rows: {name} length mismatch")
+        arrs.append(a)
+    rc = _lib.write_ovl_c(*[a.ctypes.data_as(ctypes.c_void_p) for a in arrs],
+                          n, 1 if terminator else 0, path.encode())
+    if rc != n:
+        raise OSError(f"write_ovl_rows failed for {path} (rc={rc})")
+    return int(rc)
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

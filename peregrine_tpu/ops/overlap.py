@@ -954,16 +954,10 @@ def overlap_all_hybrid(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.concatenate(parts) if parts else np.zeros(0, OVLP_DTYPE)
 
 
-def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
-    """Convert OVLP records to preads.ovl text rows with per-read forward-
-    strand coordinates (shmr_dedup semantics, src/shmr_dedup.c:32-101).
-
-    The coordinate flips and the first-occurrence rid-pair dedup are
-    vectorized (the per-record Python loop cost ~16 us/record — ~11 s of
-    the yeast-scale overlap stage); only the final text formatting loops.
-    """
-    if len(ovlps) == 0:
-        return []
+def _ovl_columns(ovlps: np.ndarray, seen: set | None = None):
+    """Vectorized shmr_dedup column computation (coordinate flips +
+    first-occurrence rid-pair dedup); shared by the Python text
+    formatter (oracle) and the native file writer."""
     y0 = ovlps["y0"]
     y1 = ovlps["y1"]
     rid0 = (y0 >> np.uint64(32)).astype(np.int64)
@@ -1006,14 +1000,50 @@ def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
     dist = o["dist"].astype(np.int64)
     err_est = 100.0 - 100.0 * dist / m_size
     out_strand = np.where(strand0 == 0, strand1, 1 - strand1)
+    return (rid0, rid1, -m_size, err_est, a_bgn, a_end, rlen0, out_strand,
+            b_bgn, b_end, rlen1, np.ascontiguousarray(o["ovlp_type"]))
+
+
+def ovlps_to_text(ovlps: np.ndarray, seen: set | None = None) -> list[str]:
+    """Convert OVLP records to preads.ovl text rows with per-read forward-
+    strand coordinates (shmr_dedup semantics, src/shmr_dedup.c:32-101).
+
+    The coordinate flips and the first-occurrence rid-pair dedup are
+    vectorized (the per-record Python loop cost ~16 us/record — ~11 s of
+    the yeast-scale overlap stage).  This Python formatter remains the
+    oracle; the pipeline writes the file natively via write_ovl_file
+    (~30-44 s of f-string formatting + per-line writes at 250 Mb scale).
+    """
+    if len(ovlps) == 0:
+        return []
+    c = _ovl_columns(ovlps, seen)
     tnames = ("overlap", "contains", "contained")
-    cols = (rid0.tolist(), rid1.tolist(), (-m_size).tolist(),
-            err_est.tolist(), a_bgn.tolist(), a_end.tolist(),
-            rlen0.tolist(), out_strand.tolist(), b_bgn.tolist(),
-            b_end.tolist(), rlen1.tolist(), o["ovlp_type"].tolist())
+    cols = tuple(a.tolist() for a in c)
     return [f"{r0:09d} {r1:09d} {nm} {e:0.1f} 0 {ab} {ae} {l0} {st} "
             f"{bb} {be} {l1} {tnames[tt]}"
             for r0, r1, nm, e, ab, ae, l0, st, bb, be, l1, tt in zip(*cols)]
+
+
+def write_ovl_file(path: str, ovlps: np.ndarray, seen: set | None = None,
+                   terminator: bool = True) -> int:
+    """Write preads.ovl directly (native/write_ovl.cpp; byte-identical to
+    '\\n'.join(ovlps_to_text(...)) + the '-' terminator).  Atomic
+    (tmp + rename).  Returns the number of rows written."""
+    import os
+
+    from ..native import write_ovl_rows
+
+    tmp = path + ".tmp"
+    if len(ovlps) == 0:
+        with open(tmp, "w") as f:
+            if terminator:
+                f.write("-\n")
+        os.replace(tmp, path)
+        return 0
+    c = _ovl_columns(ovlps, seen)
+    n = write_ovl_rows(tmp, *c, terminator=terminator)
+    os.replace(tmp, path)
+    return n
 
 
 def overlap_chunk_device(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,

@@ -30,7 +30,7 @@ from ..graph.string_graph import generate_string_graph
 from ..graph.tiling import tiling_paths
 from ..io.seqdb import SeqDB, read_fastx
 from ..ops.index import ShimmerIndex, build_index
-from ..ops.overlap import overlap_all, ovlps_to_text
+from ..ops.overlap import overlap_all
 
 log = logging.getLogger("peregrine_tpu")
 
@@ -308,11 +308,11 @@ class Assembly:
                     pairs=(self._pair_map()
                            if self.cfg.dedup_overlap and n_workers > 1
                            else None))
-            lines = ovlps_to_text(ovlps)
-            _write_lines(path, lines + ["-"])
+            from ..ops.overlap import write_ovl_file
+            n_rows = write_ovl_file(path, ovlps)
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs; "
                      "peak RSS %.1f GB)",
-                     len(ovlps), len(lines), time.time() - t0, _peak_rss_gb())
+                     len(ovlps), n_rows, time.time() - t0, _peak_rss_gb())
         return path
 
     # --- stage 3: layout + draft contigs --------------------------------

@@ -77,6 +77,28 @@ def test_fused_pair_build_matches_numpy_oracle(rng):
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_write_ovl_file_matches_text_oracle(tmp_path, rng):
+    """The native preads.ovl writer must be byte-identical to the Python
+    formatter + '-' terminator (incl. the %0.1f float rounding)."""
+    from peregrine_tpu.ops.overlap import write_ovl_file
+
+    cfg = _cfg()
+    _, db, _ = _make(rng)
+    idx = build_index(db, cfg)
+    ovlps = overlap_chunk(db, idx, cfg)
+    assert len(ovlps) > 0
+    want = ("\n".join(ovlps_to_text(ovlps) + ["-"]) + "\n").encode()
+    p = str(tmp_path / "preads.ovl")
+    n = write_ovl_file(p, ovlps)
+    got = open(p, "rb").read()
+    assert got == want
+    assert n == want.count(b"\n") - 1
+    # empty input still writes the terminator
+    p2 = str(tmp_path / "empty.ovl")
+    assert write_ovl_file(p2, ovlps[:0]) == 0
+    assert open(p2, "rb").read() == b"-\n"
+
+
 def test_spill_mode_byte_identical(tmp_path, rng):
     """spill_dir-backed pair map + stream (bounded-RSS mode) must produce
     the same bytes as the anonymous-memory build."""
