@@ -168,7 +168,8 @@ class SeqDB:
     @classmethod
     def build_to_disk(cls, list_path: str, prefix: str,
                       progress=None, chunk_sink=None,
-                      chunk_bases: int = 1 << 22) -> "SeqDB":
+                      chunk_bases: int = 1 << 22,
+                      use_native: bool = True) -> "SeqDB":
         """Stream-encode a read manifest straight to <prefix>.seqdb/.idx.
 
         Peak anonymous RSS is bounded by one read + the write buffer
@@ -177,7 +178,17 @@ class SeqDB:
         src/shmr_mkseqdb.c:83-118; a human-30x dataset is ~90 GB packed
         and cannot be materialized).  Returns the reopened database as a
         read-only memmap, so downstream stages read through the page
-        cache under OS memory pressure control."""
+        cache under OS memory pressure control.
+
+        With use_native (default), each manifest file is parsed AND
+        encoded by the C++ streamer (native/fastx.cpp, ~5x the Python
+        readline loop which capped stage 0 at ~90 MB/s); the Python loop
+        below is the kseq-semantics oracle (byte-identity asserted in
+        tests/test_seqdb.py).  chunk_sink then feeds from a page-cache
+        re-read of the freshly written region."""
+        if use_native:
+            return cls._build_to_disk_native(list_path, prefix, progress,
+                                             chunk_sink)
         from ..native import encode_biseq_into
         os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
         buf = np.empty(1 << 22, np.uint8)
@@ -227,6 +238,76 @@ class SeqDB:
         # between the renames cannot yield a checkpoint with a short
         # data file
         os.replace(prefix + ".seqdb.tmp", prefix + ".seqdb")
+        os.replace(prefix + ".idx.tmp", prefix + ".idx")
+        return cls.open(prefix)
+
+    @classmethod
+    def _build_to_disk_native(cls, list_path: str, prefix: str,
+                              progress=None, chunk_sink=None) -> "SeqDB":
+        from ..native import fastx_encode_append
+        os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
+        tmp = prefix + ".seqdb.tmp"
+        open(tmp, "wb").close()  # truncate; native appends per file
+        off = 0
+        rid = 0
+
+        # the native parse releases the GIL, so a feeder thread tails the
+        # growing file and hands 1024-aligned chunks to the sink while
+        # parsing continues (a per-file hand-off would defer the whole
+        # upload to EOF for single-file manifests)
+        import threading
+        import time as _time
+        fed = [0]
+        stop = threading.Event()
+
+        def _feed(limit: int) -> None:
+            cut = ((limit - fed[0]) // 1024) * 1024
+            if cut <= 0:
+                return
+            mm = np.memmap(tmp, dtype=np.uint8, mode="r")
+            chunk_sink(np.asarray(mm[fed[0]:fed[0] + cut]))
+            del mm
+            fed[0] += cut
+
+        def _feeder():
+            while not stop.is_set():
+                try:
+                    size = os.path.getsize(tmp)
+                except OSError:
+                    size = 0
+                if size - fed[0] >= 1 << 22:
+                    _feed(size)
+                else:
+                    _time.sleep(0.2)
+
+        feeder = None
+        if chunk_sink is not None:
+            feeder = threading.Thread(target=_feeder, name="seqdb-feed")
+            feeder.start()
+        try:
+            with open(prefix + ".idx.tmp", "w") as fi, open(list_path) as lf:
+                for line in lf:
+                    path = line.strip()
+                    if not path:
+                        continue
+                    names, lens, _total = fastx_encode_append(path, tmp)
+                    rows = []
+                    for name, ln in zip(names, lens.tolist()):
+                        rows.append(f"{rid:09d} {name} {ln} {off}\n")
+                        off += ln
+                        rid += 1
+                    fi.write("".join(rows))
+                    if progress is not None:
+                        progress(rid, off)
+        finally:
+            if feeder is not None:
+                stop.set()
+                feeder.join()
+        if chunk_sink is not None and off > fed[0]:
+            mm = np.memmap(tmp, dtype=np.uint8, mode="r")
+            chunk_sink(np.asarray(mm[fed[0]:off]))
+            del mm
+        os.replace(tmp, prefix + ".seqdb")
         os.replace(prefix + ".idx.tmp", prefix + ".idx")
         return cls.open(prefix)
 

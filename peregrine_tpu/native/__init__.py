@@ -24,13 +24,14 @@ _SRC = [os.path.join(_DIR, "dw_align.cpp"),
         os.path.join(_DIR, "sort_pairs.cpp"),
         os.path.join(_DIR, "build_pairs.cpp"),
         os.path.join(_DIR, "sg_passes.cpp"),
-        os.path.join(_DIR, "write_ovl.cpp")]
+        os.path.join(_DIR, "write_ovl.cpp"),
+        os.path.join(_DIR, "fastx.cpp")]
 _SO = os.path.join(_DIR, "_pgnative.so")
 
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO] + _SRC
+           "-o", _SO] + _SRC + ["-lz"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -659,6 +660,42 @@ def write_ovl_rows(path: str, rid0, rid1, neg_m, err, a_bgn, a_end, rlen0,
     if rc != n:
         raise OSError(f"write_ovl_rows failed for {path} (rc={rc})")
     return int(rc)
+
+
+_lib.fastx_encode_c.argtypes = [
+    ctypes.c_char_p, ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_void_p), _i64p,
+    ctypes.POINTER(ctypes.c_void_p), _i64p]
+_lib.fastx_encode_c.restype = ctypes.c_int64
+_lib.free_fastx_c.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+
+
+def fastx_encode_append(in_path: str, out_path: str):
+    """Parse one FASTA/FASTQ(.gz) file and append its encoded 4-bit
+    bytes to out_path (fastx.cpp; kseq semantics of io.seqdb.read_fastx,
+    which remains the oracle).  Returns (names list, lengths int64
+    array, total bytes appended)."""
+    names_p = ctypes.c_void_p()
+    names_len = ctypes.c_int64()
+    lens_p = ctypes.c_void_p()
+    count = ctypes.c_int64()
+    total = _lib.fastx_encode_c(in_path.encode(), out_path.encode(),
+                                ctypes.byref(names_p),
+                                ctypes.byref(names_len),
+                                ctypes.byref(lens_p), ctypes.byref(count))
+    if total < 0:
+        raise OSError(f"fastx_encode failed for {in_path}")
+    try:
+        raw = ctypes.string_at(names_p.value, names_len.value) \
+            if names_len.value else b""
+        lens = (np.frombuffer(ctypes.string_at(lens_p.value,
+                                               count.value * 8),
+                              np.int64).copy()
+                if count.value else np.zeros(0, np.int64))
+    finally:
+        _lib.free_fastx_c(names_p, lens_p)
+    names = raw.decode().split("\n")[:-1] if raw else []
+    return names, lens, int(total)
 
 
 def dw_align(query: bytes, target: bytes, band_tolerance: int,

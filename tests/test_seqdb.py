@@ -77,6 +77,40 @@ def test_build_to_disk_matches_in_memory(tmp_path, rng):
     assert db.seq(3) == reads[3][1]
 
 
+def test_native_fastx_encode_matches_python_oracle(tmp_path, rng):
+    """The C++ fastx parser+encoder (fastx.cpp) must produce a
+    byte-identical .seqdb/.idx to the Python read_fastx loop across
+    wrapped FASTA, 4-line and wrapped FASTQ, gzip, leading junk, blank
+    lines, quality lines starting with '@'/'>', and empty sequences."""
+    import gzip as _gz
+
+    fa = tmp_path / "a.fa"
+    with open(fa, "w") as f:
+        f.write("; leading junk\njunk2\n")
+        f.write(">r0 extra header words\nACGTAC\nGTNNAC\n\n>empty\n")
+        f.write(">r2\nacgtn\n")
+    fq = tmp_path / "b.fq"
+    with open(fq, "w") as f:
+        f.write("@q0 desc\nACGTACGTAC\n+\n@I>IIIIIII\n")
+        f.write("@q1\nACGT\nACG\n+q1\n@II\nIII>\n")  # wrapped seq + qual
+    fqgz = tmp_path / "c.fq.gz"
+    with _gz.open(fqgz, "wt") as f:
+        for i in range(30):
+            f.write(f"@z{i}\nACGTACGTACGTAC\n+\nIIIIIIIIIIIIII\n")
+    lst = tmp_path / "r.lst"
+    lst.write_text(f"{fa}\n{fq}\n{fqgz}\n")
+
+    d_py = SeqDB.build_to_disk(str(lst), str(tmp_path / "py"),
+                               use_native=False)
+    d_cc = SeqDB.build_to_disk(str(lst), str(tmp_path / "cc"),
+                               use_native=True)
+    assert open(str(tmp_path / "py") + ".idx").read() == \
+        open(str(tmp_path / "cc") + ".idx").read()
+    assert open(str(tmp_path / "py") + ".seqdb", "rb").read() == \
+        open(str(tmp_path / "cc") + ".seqdb", "rb").read()
+    assert len(d_py) == len(d_cc) == 35
+
+
 def test_fastx_reader(tmp_path, rng):
     fa = tmp_path / "t.fa"
     seqs = {f"s{i}": random_seq(rng, 120) for i in range(3)}
