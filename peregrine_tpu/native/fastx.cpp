@@ -59,24 +59,38 @@ class LineReader {
   }
   bool ok() const { return ok_; }
 
-  // reads one line INCLUDING its newline into `line`; false at EOF with
-  // nothing read
-  bool getline(std::string &line) {
-    line.clear();
+  // yields one line INCLUDING its newline as a view valid until the
+  // next call: zero-copy when the line sits inside the buffer (the
+  // common case — the line-string append was ~1/3 of the parse cost at
+  // scale), spilling into the carry string across buffer refills.
+  // false at EOF with nothing read.
+  bool getline_view(const char **b, int64_t *n) {
+    carry_.clear();
     while (true) {
       if (pos_ >= len_) {
         len_ = gz_ ? gzread(gz_, buf_, sizeof buf_)
                    : (int)fread(buf_, 1, sizeof buf_, plain_);
         pos_ = 0;
-        if (len_ <= 0) return !line.empty();
+        if (len_ <= 0) {
+          *b = carry_.data();
+          *n = (int64_t)carry_.size();
+          return !carry_.empty();
+        }
       }
       char *nl = (char *)memchr(buf_ + pos_, '\n', len_ - pos_);
       if (nl) {
-        line.append(buf_ + pos_, nl - buf_ + 1 - pos_);
+        if (carry_.empty()) {
+          *b = buf_ + pos_;
+          *n = nl - (buf_ + pos_) + 1;
+        } else {
+          carry_.append(buf_ + pos_, nl - (buf_ + pos_) + 1);
+          *b = carry_.data();
+          *n = (int64_t)carry_.size();
+        }
         pos_ = (int)(nl - buf_) + 1;
         return true;
       }
-      line.append(buf_ + pos_, len_ - pos_);
+      carry_.append(buf_ + pos_, len_ - pos_);
       pos_ = len_;
     }
   }
@@ -87,6 +101,7 @@ class LineReader {
   bool ok_ = false;
   char buf_[1 << 22];
   int pos_ = 0, len_ = 0;
+  std::string carry_;
 };
 
 // Python bytes.strip()/split() whitespace set: " \t\n\r\v\f" exactly
@@ -96,11 +111,12 @@ inline bool is_ws(char c) {
          c == '\f';
 }
 
-inline void strip_view(const std::string &s, const char **b, int64_t *n) {
-  int64_t lo = 0, hi = (int64_t)s.size();
+inline void strip_range(const char *s, int64_t len, const char **b,
+                        int64_t *n) {
+  int64_t lo = 0, hi = len;
   while (lo < hi && is_ws(s[lo])) lo++;
   while (hi > lo && is_ws(s[hi - 1])) hi--;
-  *b = s.data() + lo;
+  *b = s + lo;
   *n = hi - lo;
 }
 
@@ -122,48 +138,50 @@ int64_t fastx_encode_c(const char *in_path, const char *out_path,
   char *obuf = new char[1 << 22];
   setvbuf(out, obuf, _IOFBF, 1 << 22);
 
-  std::string line, seq;
+  std::string seq;
   std::vector<char> names;
   std::vector<int64_t> lens;
   std::vector<uint8_t> enc;
   int64_t total = 0;
   bool err = false;
 
-  bool have = rd.getline(line);
-  while (have && line[0] != '>' && line[0] != '@') have = rd.getline(line);
+  const char *lb;
+  int64_t ll;
+  bool have = rd.getline_view(&lb, &ll);
+  while (have && lb[0] != '>' && lb[0] != '@') have = rd.getline_view(&lb, &ll);
   while (have && !err) {
     // header: first whitespace token after the marker
     {
-      int64_t i = 1, n = (int64_t)line.size();
+      int64_t i = 1;
       // skip leading whitespace inside the header (Python split())
-      while (i < n && is_ws(line[i])) i++;
+      while (i < ll && is_ws(lb[i])) i++;
       int64_t j = i;
-      while (j < n && !is_ws(line[j])) j++;
-      names.insert(names.end(), line.data() + i, line.data() + j);
+      while (j < ll && !is_ws(lb[j])) j++;
+      names.insert(names.end(), lb + i, lb + j);
       names.push_back('\n');
     }
     seq.clear();
-    have = rd.getline(line);
-    while (have && line[0] != '>' && line[0] != '@' && line[0] != '+') {
+    have = rd.getline_view(&lb, &ll);
+    while (have && lb[0] != '>' && lb[0] != '@' && lb[0] != '+') {
       const char *b;
       int64_t n;
-      strip_view(line, &b, &n);
+      strip_range(lb, ll, &b, &n);
       if (n) seq.append(b, n);
-      have = rd.getline(line);
+      have = rd.getline_view(&lb, &ll);
     }
-    if (have && line[0] == '+') {  // FASTQ quality block
+    if (have && lb[0] == '+') {  // FASTQ quality block
       int64_t qlen = 0;
       while (qlen < (int64_t)seq.size()) {
-        if (!rd.getline(line)) {
+        if (!rd.getline_view(&lb, &ll)) {
           have = false;
           break;
         }
         const char *b;
         int64_t n;
-        strip_view(line, &b, &n);
+        strip_range(lb, ll, &b, &n);
         qlen += n;
       }
-      if (have) have = rd.getline(line);
+      if (have) have = rd.getline_view(&lb, &ll);
     }
     const int64_t ln = (int64_t)seq.size();
     lens.push_back(ln);

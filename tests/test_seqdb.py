@@ -111,6 +111,23 @@ def test_native_fastx_encode_matches_python_oracle(tmp_path, rng):
     assert len(d_py) == len(d_cc) == 35
 
 
+def test_native_fastx_buffer_spanning_line(tmp_path, rng):
+    """A single sequence line larger than the parser's 4 MB read buffer
+    exercises the carry path; output must stay byte-identical."""
+    big = random_seq(rng, 5_000_000)
+    fa = tmp_path / "big.fa"
+    with open(fa, "wb") as f:
+        f.write(b">huge\n" + big + b"\n>tiny\nACGT\n")
+    lst = tmp_path / "r.lst"
+    lst.write_text(str(fa) + "\n")
+    SeqDB.build_to_disk(str(lst), str(tmp_path / "py"), use_native=False)
+    SeqDB.build_to_disk(str(lst), str(tmp_path / "cc"), use_native=True)
+    assert open(str(tmp_path / "py") + ".seqdb", "rb").read() == \
+        open(str(tmp_path / "cc") + ".seqdb", "rb").read()
+    assert open(str(tmp_path / "py") + ".idx").read() == \
+        open(str(tmp_path / "cc") + ".idx").read()
+
+
 def test_fastx_reader(tmp_path, rng):
     fa = tmp_path / "t.fa"
     seqs = {f"s{i}": random_seq(rng, 120) for i in range(3)}
