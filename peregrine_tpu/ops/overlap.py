@@ -410,6 +410,53 @@ def overlap_chunk(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     return np.array(out, dtype=OVLP_DTYPE) if out else np.zeros(0, OVLP_DTYPE)
 
 
+class _CacheArena:
+    """Append-only (ka, kb, res) alignment-result cache with 2x growth.
+
+    With spill_dir the buffers are unlinked-file-backed (native._alloc),
+    so the cache — the anonymous-RSS bulk of the overlap stage at scale
+    (24 B + 32 B per alignment; ~0.6 GB at 250 Mb, ~sixfold at human) —
+    stays under page-cache control in bounded-RSS mode.  Growth also
+    replaces the per-round full-cache np.concatenate copies."""
+
+    def __init__(self, spill_dir: str | None = None):
+        from ..native import _alloc
+        self._mk = lambda shape, dt, tag: _alloc(shape, dt, spill_dir, tag)
+        self.n = 0
+        cap = 1 << 16
+        self.ka = self._mk(cap, np.uint64, "cache-ka")
+        self.kb = self._mk(cap, np.uint64, "cache-kb")
+        self.res = self._mk((cap, 8), np.int32, "cache-res")
+
+    def _grow(self, need: int) -> None:
+        cap = len(self.ka)
+        if self.n + need <= cap:
+            return
+        new_cap = max(cap * 2, self.n + need)
+        for name, shape, dt in (("ka", new_cap, np.uint64),
+                                ("kb", new_cap, np.uint64),
+                                ("res", (new_cap, 8), np.int32)):
+            old = getattr(self, name)
+            new = self._mk(shape, dt, f"cache-{name}")
+            new[:self.n] = old[:self.n]
+            setattr(self, name, new)
+
+    def append(self, mka, mkb, rres) -> None:
+        m = len(mka)
+        if not m:
+            return
+        self._grow(m)
+        self.ka[self.n:self.n + m] = mka
+        self.kb[self.n:self.n + m] = mkb
+        self.res[self.n:self.n + m] = rres
+        self.n += m
+
+    def view(self):
+        """Contiguous (ka, kb, res) views of the filled prefix — re-take
+        after every append (growth reallocates)."""
+        return self.ka[:self.n], self.kb[:self.n], self.res[:self.n]
+
+
 def _req_keys(reqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ka = ((reqs["rid0"].astype(np.uint64) << np.uint64(33))
           | (reqs["pos0"].astype(np.uint64) << np.uint64(1))
@@ -652,22 +699,17 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         return (_align_parallel(rr, db, db_data, cfg.aln_bw, n_workers),
                 np.ones(len(rr), bool))
 
-    def merge(ka, kb, res, rr, rres, rhave):
+    arena = _CacheArena(cfg.spill_dir)
+
+    def merge(rr, rres, rhave):
         # append-only: the replay's cache is a hash map (CacheMap in
         # overlap_replay.cpp) that neither needs sorted keys nor cares
         # which duplicate wins — a request key fully determines the
         # alignment inputs, so duplicate keys carry identical results.
-        # (The per-round lexsort+dedup this replaces cost ~4 s/round at
+        # (The per-round lexsort+dedup this replaced cost ~4 s/round at
         # 140 Mb scale.)
         mka, mkb = _req_keys(rr)
-        ka = np.concatenate([ka, mka[rhave]])
-        kb = np.concatenate([kb, mkb[rhave]])
-        res = np.concatenate([res, rres[rhave]])
-        return ka, kb, res
-
-    ka = np.zeros(0, np.uint64)
-    kb = np.zeros(0, np.uint64)
-    res = np.zeros((0, 8), np.int32)
+        arena.append(mka[rhave], mkb[rhave], rres[rhave])
     # a collected miss is by definition not in the cache, so the only keys
     # that could be re-collected forever are ones the backend FAILED to
     # align (ultra-long lanes, failed batches) — track just those
@@ -676,7 +718,7 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     if window > 0:  # optional spec_enum pre-seed (measured worse; kept)
         reqs = spec_enum(sys_, sdirs, spos, sbs, sbe, window, per_pair)
         rres, rhave = align_round(reqs)
-        ka, kb, res = merge(ka, kb, res, reqs, rres, rhave)
+        merge(reqs, rres, rhave)
         if not rhave.all():
             pka, pkb = _req_keys(reqs)
             failed.update(zip(pka[~rhave].tolist(), pkb[~rhave].tolist()))
@@ -694,12 +736,12 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
             _tr = _t.time()
             cap = int(min(cap0, max(prev_miss, 1 << 16)))
             miss, missreqs, rres = _collect_align_streaming(
-                db, cfg, stream, (ka, kb, res), db_data, n_workers, cap)
+                db, cfg, stream, arena.view(), db_data, n_workers, cap)
             if miss == 0:
                 break
             _ta = _t.time()
             rhave = np.ones(len(missreqs), bool)
-            ka, kb, res = merge(ka, kb, res, missreqs, rres, rhave)
+            merge(missreqs, rres, rhave)
             total_aligned += len(missreqs)
             prev_miss = miss
             log2.info("overlap dedup round %d: %d misses harvested "
@@ -711,7 +753,7 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 # the final pass can align inline — stop iterating
                 break
             continue
-        _, _, miss, missreqs = _replay(db, cfg, stream, (ka, kb, res),
+        _, _, miss, missreqs = _replay(db, cfg, stream, arena.view(),
                                        db_data, collect=True)
         if miss == 0:
             break
@@ -731,7 +773,7 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                 break  # only backend-unalignable requests remain
             missreqs = missreqs[new]
         rres, rhave = align_round(missreqs)
-        ka, kb, res = merge(ka, kb, res, missreqs, rres, rhave)
+        merge(missreqs, rres, rhave)
         if not rhave.all():
             mka, mkb = _req_keys(missreqs)
             failed.update(zip(mka[~rhave].tolist(), mkb[~rhave].tolist()))
@@ -741,7 +783,7 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
     _tf = _t.time()
     recs, miss = overlap_chunk_native(db, idx, cfg, stream=stream[:5],
-                                      cache=(ka, kb, res))
+                                      cache=arena.view())
     total_aligned += miss
     log2.info("overlap dedup [%s]: %d alignments total on %d workers "
               "(%d inline in the final pass, %.1fs)", backend,
