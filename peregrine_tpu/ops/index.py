@@ -212,8 +212,45 @@ def _length_buckets(lengths: np.ndarray, unit: int) -> dict[int, np.ndarray]:
     return out
 
 
+def build_index_segmented(db: SeqDB, cfg: AsmConfig, budget_bytes: int,
+                          keep_l0: bool = False):
+    """build_index in contiguous read segments whose packed bytes fit an
+    HBM budget: each segment uploads only its byte window, indexes, and
+    frees before the next (a 1 Gb x 30x seqdb is ~30 GB packed — the
+    db-resident plane alone exceeds a single v5e's 16 GB HBM; measured
+    RESOURCE_EXHAUSTED).  Per-read records are independent of batching,
+    so the concatenated result is byte-identical to one build
+    (tests/test_index.py)."""
+    assert not keep_l0, "segmented build supports the production path only"
+    n = len(db)
+    groups: list[np.ndarray] = []
+    start = 0
+    while start < n:
+        end = start
+        base = int(db.offsets[start])
+        while end < n and int(db.offsets[end] + db.lengths[end]) - base \
+                <= budget_bytes:
+            end += 1
+        if end == start:
+            end = start + 1  # single read larger than the budget
+        groups.append(np.arange(start, end))
+        start = end
+    xs, ys = [], []
+    for g in groups:
+        lo = int(db.offsets[g[0]])
+        hi = int(db.offsets[g[-1]] + db.lengths[g[-1]])
+        part = build_index(db, cfg, rid_filter=g, db_window=(lo, hi))
+        xs.append(part.x)
+        ys.append(part.y)
+    x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
+    y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
+    mh, mc = _merge_counts(x >> np.uint64(8), np.ones(len(x), np.uint32))
+    return ShimmerIndex(x, y, mh, mc)
+
+
 def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
-                keep_l0: bool = False, seqdb_rows=None):
+                keep_l0: bool = False, seqdb_rows=None,
+                db_window: tuple[int, int] | None = None):
     """Build the final-level SHIMMER index for (a subset of) a SeqDB.
 
     Mirrors shmr_index semantics (sketch -> r-reduce x levels, counts of the
@@ -284,7 +321,15 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     # round trip (~0.3 s x dozens of batches dominated the stage wall)
     from .dbgather import upload_seqdb
     inflight: list = []
-    if len(rids_all) and not keep_l0 and seqdb_rows is None:
+    win_lo = 0
+    if db_window is not None:
+        # upload only this byte window (build_index_segmented): dispatch
+        # metas become window-relative
+        win_lo = int(db_window[0])
+        if seqdb_rows is None and len(rids_all) and not keep_l0:
+            seqdb_rows = upload_seqdb(
+                np.asarray(db.data[win_lo:int(db_window[1])]))
+    elif len(rids_all) and not keep_l0 and seqdb_rows is None:
         # seqdb_rows may be pre-uploaded by the stage-0 background
         # uploader (ops.dbgather.SeqDBUploader) — 51 s of transfer at
         # 250 Mb scale that then hides under the encode wall
@@ -297,7 +342,7 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
 
     def _meta_for(part: np.ndarray, bsz: int) -> np.ndarray:
         meta = np.zeros((bsz, 3), np.int64)
-        meta[:len(part), 0] = db.offsets[part]
+        meta[:len(part), 0] = db.offsets[part] - win_lo
         meta[:len(part), 1] = db.lengths[part]
         meta[:len(part), 2] = part
         return meta

@@ -60,6 +60,14 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(path)
 
 
+def _hbm_db_budget() -> int:
+    """Max packed-db bytes resident on one chip (override via
+    PG_HBM_DB_BUDGET).  A v5e has 16 GB HBM; the 2-bit+amb planes are
+    ~0.375x the packed bytes and dispatch workspace needs headroom, so
+    the default lets ~26 GB of packed data live on-chip at once."""
+    return int(os.environ.get("PG_HBM_DB_BUDGET", str(10 << 30)))
+
+
 def _peak_rss_gb() -> float:
     """Process high-water anonymous+file RSS in GB (VmHWM); logged after
     every stage so scale runs record a measured memory budget."""
@@ -153,7 +161,20 @@ class Assembly:
             t0 = time.time()
             sink = None
             import jax
-            if jax.default_backend() != "cpu" and not self.cfg.mesh:
+            est_bases = 0
+            try:
+                with open(reads_list) as _lf:
+                    for _p in _lf:
+                        _p = _p.strip()
+                        if _p:
+                            est_bases += os.path.getsize(_p)
+            except OSError:
+                pass
+            if jax.default_backend() != "cpu" and not self.cfg.mesh \
+                    and est_bases <= _hbm_db_budget():
+                # datasets past the HBM budget index in segments
+                # (build_index_segmented); pre-uploading the full plane
+                # would OOM the chip
                 from ..ops.dbgather import SeqDBUploader
                 self._seqdb_uploader = SeqDBUploader()
                 sink = self._seqdb_uploader.feed
@@ -202,6 +223,16 @@ class Assembly:
             if mesh_n > 1:
                 from ..parallel.sharded_index import build_index_mesh
                 self.idx = build_index_mesh(self.db, self.cfg)
+            elif self.db.data.nbytes > _hbm_db_budget():
+                import jax
+                from ..ops.index import build_index_segmented
+                rows = None  # free any pre-uploaded plane first
+                if jax.default_backend() != "cpu":
+                    log.info("stage 1: db %.1f GB exceeds the HBM budget "
+                             "— indexing in segments",
+                             self.db.data.nbytes / (1 << 30))
+                self.idx = build_index_segmented(self.db, self.cfg,
+                                                 _hbm_db_budget())
             else:
                 self.idx = build_index(self.db, self.cfg, seqdb_rows=rows)
             self.idx.save(prefix, level=level)

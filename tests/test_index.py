@@ -127,3 +127,25 @@ def test_build_index_scan_grouped_batches(rng):
     np.testing.assert_array_equal(small.y, big.y)
     np.testing.assert_array_equal(small.mc_hash, big.mc_hash)
     np.testing.assert_array_equal(small.mc_count, big.mc_count)
+
+
+def test_segmented_build_matches_full(rng):
+    """build_index_segmented (HBM-budget read segments with windowed db
+    uploads) must produce a byte-identical ShimmerIndex."""
+    import numpy as np
+
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.index import build_index, build_index_segmented
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, sketch_pad_len=8192,
+                    sketch_batch=16)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=2500, coverage=10.0)
+    db = SeqDB.from_reads(reads)
+    full = build_index(db, cfg)
+    seg = build_index_segmented(db, cfg, budget_bytes=50000)  # many segments
+    assert (seg.x == full.x).all() and (seg.y == full.y).all()
+    assert (seg.mc_hash == full.mc_hash).all()
+    assert (seg.mc_count == full.mc_count).all()
