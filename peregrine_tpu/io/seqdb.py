@@ -189,6 +189,26 @@ class SeqDB:
         if use_native:
             return cls._build_to_disk_native(list_path, prefix, progress,
                                              chunk_sink)
+
+        def gen():
+            with open(list_path) as lf:
+                for line in lf:
+                    path = line.strip()
+                    if path:
+                        yield from read_fastx(path)
+        return cls.build_to_disk_from_iter(gen(), prefix, progress=progress,
+                                           chunk_sink=chunk_sink,
+                                           chunk_bases=chunk_bases)
+
+    @classmethod
+    def build_to_disk_from_iter(cls, reads: Iterable[tuple[str, bytes]],
+                                prefix: str, progress=None, chunk_sink=None,
+                                chunk_bases: int = 1 << 22) -> "SeqDB":
+        """Stream-encode an in-process (name, seq) iterator straight to
+        <prefix>.seqdb/.idx — same bounded-RSS contract as
+        build_to_disk, without a FASTA on disk.  Used by the scale
+        harness to simulate human-class read sets (a 90 GB FASTA +
+        90 GB seqdb would not fit the node's disk together)."""
         from ..native import encode_biseq_into
         os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
         buf = np.empty(1 << 22, np.uint8)
@@ -210,28 +230,23 @@ class SeqDB:
             pend_n = len(cat) - cut
 
         with open(prefix + ".seqdb.tmp", "wb", buffering=1 << 22) as fd, \
-                open(prefix + ".idx.tmp", "w") as fi, \
-                open(list_path) as lf:
-            for line in lf:
-                path = line.strip()
-                if not path:
-                    continue
-                for name, seq in read_fastx(path):
-                    ln = len(seq)
-                    if ln > len(buf):
-                        buf = np.empty(ln, np.uint8)
-                    encode_biseq_into(seq, buf[:ln])
-                    fd.write(memoryview(buf[:ln]))
-                    if chunk_sink is not None:
-                        pend.append(buf[:ln].copy())
-                        pend_n += ln
-                        if pend_n >= chunk_bases:
-                            _flush_sink(final=False)
-                    fi.write(f"{rid:09d} {name} {ln} {off}\n")
-                    off += ln
-                    rid += 1
-                    if progress is not None and rid % 100000 == 0:
-                        progress(rid, off)
+                open(prefix + ".idx.tmp", "w") as fi:
+            for name, seq in reads:
+                ln = len(seq)
+                if ln > len(buf):
+                    buf = np.empty(ln, np.uint8)
+                encode_biseq_into(seq, buf[:ln])
+                fd.write(memoryview(buf[:ln]))
+                if chunk_sink is not None:
+                    pend.append(buf[:ln].copy())
+                    pend_n += ln
+                    if pend_n >= chunk_bases:
+                        _flush_sink(final=False)
+                fi.write(f"{rid:09d} {name} {ln} {off}\n")
+                off += ln
+                rid += 1
+                if progress is not None and rid % 100000 == 0:
+                    progress(rid, off)
             if chunk_sink is not None and pend:
                 _flush_sink(final=True)
         # .seqdb lands before .idx — resume trusts .idx, so a crash

@@ -60,12 +60,76 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(path)
 
 
-def _hbm_db_budget() -> int:
-    """Max packed-db bytes resident on one chip (override via
-    PG_HBM_DB_BUDGET).  A v5e has 16 GB HBM; the 2-bit+amb planes are
-    ~0.375x the packed bytes and dispatch workspace needs headroom, so
-    the default lets ~26 GB of packed data live on-chip at once."""
-    return int(os.environ.get("PG_HBM_DB_BUDGET", str(10 << 30)))
+def _hbm_db_budget(cfg: "AsmConfig | None" = None) -> int:
+    """Max packed-db bytes whose device planes may be resident on one
+    chip at once (override via PG_HBM_DB_BUDGET, in bytes of PACKED
+    data, i.e. seqdb bytes — not HBM bytes).
+
+    A v5e has 16 GB HBM.  The 2-bit+ambiguity planes are ~0.375x the
+    packed bytes, so the 10 GB default keeps the db planes to ~3.75 GB
+    of HBM — deliberately conservative, because the index/overlap
+    dispatch workspace (sort buffers at 9 u32 operands per SHIMMER,
+    the compacted drain prefix, and under --device-pairs the on-device
+    pair-map sort) peaks at several GB on top of the planes.  Datasets
+    past the budget index in segments (ops.index.build_index_segmented;
+    the 1 Gb rung's 28 GB db OOMed a single-shot build).
+
+    With cfg.device_pairs the same chip also holds the pair-map sort
+    workspace (~9 u32 columns over all SHIMMER hits), so the effective
+    db budget is reduced to 60%."""
+    b = int(os.environ.get("PG_HBM_DB_BUDGET", str(10 << 30)))
+    if cfg is not None and getattr(cfg, "device_pairs", False):
+        b = int(b * 0.6)
+    return b
+
+
+def _hbm_stats_line() -> str:
+    """Device memory telemetry ('; HBM in-use/peak GB') when the backend
+    exposes allocator stats (TPU does; CPU returns '')."""
+    try:
+        import jax
+        st = jax.local_devices()[0].memory_stats()
+        if not st:
+            return ""
+        inuse = st.get("bytes_in_use", 0) / (1 << 30)
+        peak = st.get("peak_bytes_in_use", 0) / (1 << 30)
+        return f"; HBM {inuse:.1f}/{peak:.1f} GB in-use/peak"
+    except Exception:
+        return ""
+
+
+def _mem_budget() -> int:
+    """Host anonymous-memory budget in bytes for the overlap stage's
+    pair map + request/result caches.  PG_MEM_BUDGET (bytes) overrides;
+    the default is 85% of MemAvailable at call time, so the pipeline
+    sizes itself to the machine it is on (the reference documents
+    running its overlap stage on a 32 GB host, README.md:127-130 — the
+    equivalent here is PG_MEM_BUDGET=$((30<<30)) or just a small box)."""
+    env = os.environ.get("PG_MEM_BUDGET")
+    if env:
+        return int(float(env))
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable"):
+                    return int(int(ln.split()[1]) * 1024 * 0.85)
+    except OSError:
+        pass
+    return 1 << 62
+
+
+def _anon_rss_gb() -> float:
+    """Current anonymous RSS in GB (RssAnon) — the part of the footprint
+    the OS cannot evict; file-backed memmap/spill pages are excluded
+    (they inflate VmHWM but fall away under memory pressure)."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("RssAnon"):
+                    return int(ln.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 0.0
 
 
 def _peak_rss_gb() -> float:
@@ -147,10 +211,20 @@ class Assembly:
                 shutil.rmtree(p)
 
     # --- stage 0: sequence database ------------------------------------
-    def build_db(self, reads=None, reads_list: str | None = None) -> SeqDB:
+    def build_db(self, reads=None, reads_list: str | None = None,
+                 reads_iter=None) -> SeqDB:
         prefix = os.path.join(self.outdir, "0-seqdb", "seq_dataset")
         if _stage_done(prefix + ".idx") and reads is None:
             self.db = SeqDB.open(prefix)
+        elif reads_iter is not None:
+            # in-process (name, seq) stream: bounded-RSS disk build with
+            # no FASTA on disk (simulated human-class ladder rungs)
+            t0 = time.time()
+            self.db = SeqDB.build_to_disk_from_iter(reads_iter, prefix)
+            log.info("stage 0 seqdb: %d reads, %d bases (%.1fs streamed "
+                     "to disk; peak RSS %.1f GB)", len(self.db),
+                     int(self.db.lengths.sum()), time.time() - t0,
+                     _peak_rss_gb())
         elif reads is None:
             # manifest input streams straight to disk: peak RSS is one
             # read + the write buffer, not the packed array (90 GB at
@@ -171,7 +245,7 @@ class Assembly:
             except OSError:
                 pass
             if jax.default_backend() != "cpu" and not self.cfg.mesh \
-                    and est_bases <= _hbm_db_budget():
+                    and est_bases <= _hbm_db_budget(self.cfg):
                 # datasets past the HBM budget index in segments
                 # (build_index_segmented); pre-uploading the full plane
                 # would OOM the chip
@@ -223,7 +297,7 @@ class Assembly:
             if mesh_n > 1:
                 from ..parallel.sharded_index import build_index_mesh
                 self.idx = build_index_mesh(self.db, self.cfg)
-            elif self.db.data.nbytes > _hbm_db_budget():
+            elif self.db.data.nbytes > _hbm_db_budget(self.cfg):
                 import jax
                 from ..ops.index import build_index_segmented
                 rows = None  # free any pre-uploaded plane first
@@ -232,15 +306,15 @@ class Assembly:
                              "— indexing in segments",
                              self.db.data.nbytes / (1 << 30))
                 self.idx = build_index_segmented(self.db, self.cfg,
-                                                 _hbm_db_budget())
+                                                 _hbm_db_budget(self.cfg))
             else:
                 self.idx = build_index(self.db, self.cfg, seqdb_rows=rows)
             self.idx.save(prefix, level=level)
             log.info("stage 1 index: %d SHIMMERs, %d distinct (%.1fs%s; "
-                     "peak RSS %.1f GB)",
+                     "peak RSS %.1f GB%s)",
                      len(self.idx.x), len(self.idx.mc_hash), time.time() - t0,
                      f"; mesh of {mesh_n}" if mesh_n > 1 else "",
-                     _peak_rss_gb())
+                     _peak_rss_gb(), _hbm_stats_line())
         return self.idx
 
     def _pair_map(self):
@@ -249,6 +323,7 @@ class Assembly:
         shmr_overlap AND shmr_map; it costs ~41 s at Drosophila scale), so
         it is built once and shared.  Freed after consensus."""
         if self._pairs is None:
+            self._maybe_auto_spill()
             if self.cfg.device_pairs:
                 import jax
                 if self.cfg.mesh and len(jax.devices()) > 1:
@@ -274,12 +349,41 @@ class Assembly:
                     spill_dir=self.cfg.spill_dir)
         return self._pairs
 
+    def _maybe_auto_spill(self) -> None:
+        """Self-sizing low-memory mode: when the projected anonymous
+        footprint of the overlap stage (pair map + request/result
+        caches) exceeds the host budget, back those buffers with
+        unlinked spill files automatically instead of requiring the
+        opt-in --spill-dir flag.
+
+        The projection is the measured scaling of the anonymous bulk:
+        ~2.0x the packed db bytes (250 Mb reads: ~10-12 GB anon on a
+        7.5 GB db; 500 Mb: ~26-28 GB on 15 GB; 1 Gb: ~55-60 GB on
+        28 GB — BENCH.md scale ladder).  Reference analog: the overlap
+        stage is documented to run on a 32 GB machine
+        (reference README.md:127-130)."""
+        if self.cfg.spill_dir is not None or self.db is None:
+            return
+        projected = int(2.0 * self.db.data.nbytes)
+        budget = _mem_budget()
+        if projected <= budget:
+            return
+        import dataclasses
+        d = os.path.join(self.outdir, "spill")
+        os.makedirs(d, exist_ok=True)
+        self.cfg = dataclasses.replace(self.cfg, spill_dir=d)
+        log.info("auto-spill: projected overlap anon ~%.1f GB exceeds "
+                 "the %.1f GB budget (PG_MEM_BUDGET/MemAvailable) — "
+                 "pair map + overlap caches spill to %s",
+                 projected / (1 << 30), budget / (1 << 30), d)
+
     # --- stage 2: overlaps ---------------------------------------------
     def build_overlaps(self, n_chunks: int | None = None,
                        n_workers: int | None = None) -> str:
         path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
         if not _stage_done(path):
             t0 = time.time()
+            self._maybe_auto_spill()
             dedup = self.cfg.dedup_overlap
             if self.cfg.use_device_aligner or self.cfg.hybrid_overlap:
                 log.warning(
@@ -342,8 +446,9 @@ class Assembly:
             from ..ops.overlap import write_ovl_file
             n_rows = write_ovl_file(path, ovlps)
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs; "
-                     "peak RSS %.1f GB)",
-                     len(ovlps), n_rows, time.time() - t0, _peak_rss_gb())
+                     "peak RSS %.1f GB, anon %.1f GB%s)",
+                     len(ovlps), n_rows, time.time() - t0, _peak_rss_gb(),
+                     _anon_rss_gb(), _hbm_stats_line())
         return path
 
     # --- stage 3: layout + draft contigs --------------------------------
@@ -458,8 +563,10 @@ class Assembly:
                 f.write(f">{ctg_db.names[ctg_rid]}\n"
                         f"{seqs[ctg_rid].decode()}\n")
         os.replace(out_fa + ".tmp", out_fa)
-        log.info("stage 4 consensus done (%.1fs; peak RSS %.1f GB)",
-                 time.time() - t0, _peak_rss_gb())
+        log.info("stage 4 consensus done (%.1fs; peak RSS %.1f GB, "
+                 "anon %.1f GB%s)",
+                 time.time() - t0, _peak_rss_gb(), _anon_rss_gb(),
+                 _hbm_stats_line())
         return out_fa
 
     def run_draft(self, reads=None, reads_list: str | None = None) -> str:

@@ -31,6 +31,10 @@ def main():
                     help="stream simulated reads to a FASTA + manifest and "
                          "assemble via the bounded-RSS reads_list path "
                          "(reads never materialize in memory)")
+    ap.add_argument("--sim-direct", action="store_true",
+                    help="simulate straight into the streamed seqdb build "
+                         "— no FASTA on disk (the human-class rung needs "
+                         "~90 GB for the FASTA alone)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -51,8 +55,7 @@ def main():
     from peregrine_tpu.pipeline.warmup import warm_device_async
     warm_device_async()
     from peregrine_tpu.config import AsmConfig
-    from peregrine_tpu.io.seqdb import read_fastx, revcomp
-    from peregrine_tpu.native import dw_align
+    from peregrine_tpu.io.seqdb import read_fastx
     from peregrine_tpu.pipeline.run import Assembly
     from simdata import random_genome, simulate_reads
 
@@ -61,7 +64,29 @@ def main():
     t0 = time.time()
     genome = random_genome(rng, glen)
     os.makedirs(args.outdir, exist_ok=True)
-    if args.manifest:
+    if args.sim_direct:
+        from simdata import mutate
+        from peregrine_tpu.io.seqdb import revcomp as _rc
+        g = genome + genome[:args.wrap_kb * 1000]
+        n_reads = int(args.coverage * len(g) / args.read_len)
+
+        def _read_gen():
+            for i in range(n_reads):
+                rl = max(args.read_len // 3,
+                         int(args.read_len
+                             + rng.normal(0, args.read_len // 10)))
+                s = int(rng.integers(0, max(1, len(g) - rl)))
+                seq = mutate(rng, g[s:s + rl], args.error)
+                strand = int(rng.integers(0, 2))
+                if strand:
+                    seq = _rc(seq)
+                yield f"sim/{i:07d}/{strand}", seq
+
+        reads = None
+        reads_gen = _read_gen()
+        print(f"simulating {n_reads} reads straight into the seqdb "
+              f"stream (no FASTA)", flush=True)
+    elif args.manifest:
         # stream each simulated read straight to disk (mutate per read),
         # then assemble through the streamed manifest path — reads and
         # the packed seqdb never materialize in RAM
@@ -108,6 +133,8 @@ def main():
     stages = []
 
     def _stage0():
+        if args.sim_direct:
+            return asm.build_db(reads_iter=reads_gen)
         if reads is None:
             return asm.build_db(reads_list=os.path.join(args.outdir,
                                                         "reads.lst"))
@@ -128,32 +155,28 @@ def main():
     sizes = sorted((len(v) for v in ctgs.values()), reverse=True)
     print(f"contigs: {len(ctgs)}, sizes: {sizes[:8]}", flush=True)
 
-    # identity: exact-substring first (the greedy aligner overcounts on
-    # multi-Mb spans), then blockwise alignment with re-anchoring
-    g2 = genome + genome
-    longest = max(ctgs.values(), key=len).upper()
-    for cand, tag in ((longest, "fwd"), (revcomp(longest), "rc")):
-        if g2.find(cand) >= 0:
-            print(f"{tag}: EXACT substring of genome — 100% identity "
-                  f"({len(cand):,} bases)", flush=True)
-            break
-        p = g2.find(cand[1000:1064])
-        if p < 0:
-            continue
-        p -= 1000
-        ref = g2[max(p, 0):p + len(cand) + 50000]
-        qpos = tpos = total = 0
-        while qpos < len(cand) - 1000:
-            a = dw_align(cand[qpos:qpos + 2_000_000],
-                         ref[tpos:tpos + 2_050_000], 2000, get_aln_str=False)
-            if a.aln_q_e == 0:
-                break
-            total += a.dist
-            qpos += a.aln_q_e
-            tpos += a.aln_t_e
-        print(f"{tag}: blockwise dist={total} over {qpos:,} bases "
-              f"identity={1 - total/max(qpos, 1):.9f}", flush=True)
-        break
+    # full-coverage exact verification: every contig base is either in
+    # an exact match against the genome or in a segment re-aligned with
+    # an exact Landau-Vishkin edit-distance computation — the reported
+    # distance is the true Levenshtein distance, not a greedy estimate
+    # (peregrine_tpu/verify.py; VERDICT r3 item 4)
+    from peregrine_tpu.verify import verify_contig
+    t0 = time.time()
+    longest = max(ctgs.values(), key=len)
+    r = verify_contig(bytes(longest), genome, circular=True)
+    if not r.get("anchored"):
+        print("identity: FAILED to anchor the contig in the genome",
+              flush=True)
+    elif r["exact"]:
+        print(f"{r['orientation']}: EXACT — full-coverage distance 0 over "
+              f"{r['length']:,} bases ({time.time()-t0:.0f}s verify)",
+              flush=True)
+    else:
+        print(f"{r['orientation']}: full-coverage EXACT dist="
+              f"{r['distance']} over {r['length']:,} bases "
+              f"identity={r['identity']:.9f} "
+              f"({len(r['segments'])} mismatch segments, "
+              f"{time.time()-t0:.0f}s verify)", flush=True)
     print("stage walls:", dict(stages))
 
 

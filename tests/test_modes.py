@@ -100,3 +100,30 @@ def test_alt_consensus_polish(tmp_path, rng):
     assert os.path.exists(out)
     cns = dict(read_fastx(out))
     assert cns and max(len(s) for s in cns.values()) > 0.5 * len(genome)
+
+
+def test_auto_spill_engages_and_is_identical(tmp_path, rng, monkeypatch):
+    """Self-sizing low-memory mode (VERDICT r3 item 3): with a tiny
+    PG_MEM_BUDGET the pipeline engages spill automatically (pair map +
+    overlap caches ride unlinked files under outdir/spill) and the
+    output stays byte-identical to the unspilled run."""
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=14.0)
+    outs = []
+    for sub, budget in (("big", None), ("tiny", "1000000")):
+        if budget is None:
+            monkeypatch.delenv("PG_MEM_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("PG_MEM_BUDGET", budget)
+        cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                        sketch_pad_len=8192, sketch_batch=16)
+        asm = Assembly(str(tmp_path / sub), cfg)
+        fa = asm.run_draft(reads=reads)
+        outs.append(open(fa, "rb").read())
+        outs.append(open(str(tmp_path / sub / "2-ovlp/preads.ovl"),
+                         "rb").read())
+        spilled = asm.cfg.spill_dir is not None
+        assert spilled == (budget is not None), (sub, asm.cfg.spill_dir)
+        if spilled:
+            assert os.path.isdir(str(tmp_path / sub / "spill"))
+    assert outs[0] == outs[2] and outs[1] == outs[3]
