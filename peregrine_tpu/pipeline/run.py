@@ -324,11 +324,16 @@ class Assembly:
         it is built once and shared.  Freed after consensus."""
         if self._pairs is None:
             self._maybe_auto_spill()
-            if self.cfg.device_pairs:
-                import jax
-                if self.cfg.mesh and len(jax.devices()) > 1:
+            import jax
+            mesh_pairs = self.cfg.mesh and len(jax.devices()) > 1
+            if mesh_pairs or self.cfg.device_pairs:
+                if mesh_pairs:
                     # pod composition: read-sharded build, records ride
-                    # the order-preserving hash-range all_to_all
+                    # the order-preserving hash-range all_to_all.  This
+                    # is the --mesh DEFAULT (not opt-in) so the shipped
+                    # mesh pipeline is exactly the dryrun_multichip
+                    # composition; byte-identity vs the host build is
+                    # asserted in tests/test_sharded_pairs.py
                     from ..parallel.sharded_index import make_mesh
                     from ..parallel.sharded_pairs import build_pairs_mesh
                     self._pairs, _ = build_pairs_mesh(
