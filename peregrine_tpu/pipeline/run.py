@@ -538,19 +538,41 @@ class Assembly:
             read_fastx(os.path.join(self.outdir, "3-asm", ctg_fa)))
         ctg_db.save(ctg_prefix)
         ctg_idx = build_index(ctg_db, self.cfg)
-        rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx, self.cfg,
-                                pairs=self._pairs)
         from ..native import write_rows
-        write_rows(rows.reshape(len(rows), -1),
-                   os.path.join(cns_dir, "read_map.txt"))
-        log.info("stage 4 mapping: %d rows (%.1fs)", len(rows), time.time() - t0)
+        # external grouped emission bounds this stage's anonymous peak
+        # (the reference's `sort -T tmp -S 8g` analog,
+        # py/scripts/pg_run.py:491-496): rows land grouped by contig in
+        # a disk-backed memmap; per-contig content and order match the
+        # in-memory path exactly (tests/test_mapping.py), only the
+        # diagnostic read_map.txt row order differs (grouped vs walk)
+        external = (os.environ.get("PG_MAP_EXTERNAL") == "1"
+                    or self.db.data.nbytes > (8 << 30))
+        if external:
+            from ..ops.mapping import map_reads_to_ref_grouped
+            mm, offs = map_reads_to_ref_grouped(
+                self.idx, self.db.lengths, ctg_idx, self.cfg,
+                os.path.join(cns_dir, "read_map.npy"), len(ctg_db),
+                pairs=self._pairs)
+            write_rows(mm, os.path.join(cns_dir, "read_map.txt"))
+            n_rows = len(mm)
+            contig_rows = {rid: mm[offs[rid]:offs[rid + 1]]
+                           for rid in range(len(ctg_db))}
+        else:
+            rows = map_reads_to_ref(self.idx, self.db.lengths, ctg_idx,
+                                    self.cfg, pairs=self._pairs)
+            write_rows(rows.reshape(len(rows), -1),
+                       os.path.join(cns_dir, "read_map.txt"))
+            n_rows = len(rows)
+            contig_rows = {rid: (rows[rows[:, 0] == rid]
+                                 if len(rows) else rows)
+                           for rid in range(len(ctg_db))}
+        log.info("stage 4 mapping: %d rows (%.1fs%s)", n_rows,
+                 time.time() - t0, "; external grouped" if external else "")
 
         if n_workers is None:
             # consensus workers are GIL-releasing threads (ops.consensus
             # .consensus_parallel) — no spawn tax, so always parallel
             n_workers = os.cpu_count() or 1
-        contig_rows = {rid: (rows[rows[:, 0] == rid] if len(rows) else rows)
-                       for rid in range(len(ctg_db))}
         if self._save_thread is not None:
             # the window threads re-open the seqdb from disk
             self._save_thread.join()

@@ -138,3 +138,51 @@ def test_write_rows_matches_savetxt(tmp_path, rng):
     a = p1.read_text().splitlines()
     b = p2.read_text().splitlines()
     assert [x.split() for x in a] == [y.split() for y in b]
+
+
+def test_map_grouped_external_matches_in_memory(rng, tmp_path):
+    """map_reads_to_ref_grouped (disk-backed, contig-grouped, chunked
+    emission) reproduces the in-memory rows exactly: per-contig groups
+    are identical arrays in identical order (VERDICT r3 item 5)."""
+    from peregrine_tpu.ops.mapping import map_reads_to_ref_grouped
+    cfg = _cfg()
+    # two reference contigs so the grouping actually interleaves
+    genome = random_genome(rng, 60000)
+    g1, g2 = genome[:35000], genome[25000:]
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=6.0)
+    read_db = SeqDB.from_reads(reads)
+    ref_db = SeqDB.from_reads([("c1", g1), ("c2", g2)])
+    ridx = build_index(read_db, cfg)
+    cidx = build_index(ref_db, cfg)
+    rows = map_reads_to_ref(ridx, read_db.lengths, cidx, cfg)
+    assert len(rows) > 0 and len(set(rows[:, 0].tolist())) == 2
+    # tiny chunk_rows forces many emission slabs
+    mm, offs = map_reads_to_ref_grouped(
+        ridx, read_db.lengths, cidx, cfg,
+        str(tmp_path / "rm.npy"), len(ref_db), chunk_rows=97)
+    assert offs[-1] == len(rows)
+    for rid in range(len(ref_db)):
+        expect = rows[rows[:, 0] == rid]
+        got = np.asarray(mm[offs[rid]:offs[rid + 1]])
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_polish_external_mode_identical(rng, tmp_path, monkeypatch):
+    """PG_MAP_EXTERNAL=1 routes stage 4 through the grouped memmap;
+    consensus output must be byte-identical."""
+    import os
+    from peregrine_tpu.pipeline.run import Assembly
+    genome = random_genome(rng, 40000)
+    reads, _ = simulate_reads(rng, genome, read_len=4000, coverage=14.0)
+    outs = []
+    for sub, ext in (("mem", "0"), ("ext", "1")):
+        monkeypatch.setenv("PG_MAP_EXTERNAL", ext)
+        cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                        sketch_pad_len=8192, sketch_batch=16)
+        asm = Assembly(str(tmp_path / sub), cfg)
+        asm.run_draft(reads=reads)
+        fa = asm.build_consensus()
+        outs.append(open(fa, "rb").read())
+        if ext == "1":
+            assert os.path.exists(str(tmp_path / sub / "4-cns/read_map.npy"))
+    assert outs[0] == outs[1] and len(outs[0]) > 10000
