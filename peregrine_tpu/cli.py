@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -91,6 +92,12 @@ def main(argv=None) -> int:
                           "unlinked files in this directory instead of "
                           "anonymous memory (bounded-RSS mode for hosts "
                           "smaller than the dataset; output unchanged)")
+    asm.add_argument("--mem-budget", default=None,
+                     help="host anonymous-memory budget in bytes (e.g. "
+                          "32e9) for the overlap stage; spill engages "
+                          "automatically past it.  Default: 85%% of "
+                          "MemAvailable (self-sizing; equals setting "
+                          "PG_MEM_BUDGET)")
     asm.add_argument("--device-pairs", action="store_true",
                      help="build the overlap pair map on the TPU (byte-"
                           "identical output; wins on locally-attached "
@@ -170,6 +177,8 @@ def main(argv=None) -> int:
             hybrid_overlap=args.hybrid_overlap,
             shard_overlap=args.shard_overlap, mesh=args.mesh,
             device_pairs=args.device_pairs, spill_dir=args.spill_dir)
+        if args.mem_budget is not None:
+            os.environ["PG_MEM_BUDGET"] = str(int(float(args.mem_budget)))
         if args.multihost:
             import jax
 
