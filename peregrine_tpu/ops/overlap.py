@@ -675,13 +675,20 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     _t0 = _t.time()
     key0, key1, y0a, y1a, dira = pairs if pairs is not None else build_pairs(
         idx, db.lengths, 1, 1,
-        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+        cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist,
+        spill_dir=cfg.spill_dir)
     _t1 = _t.time()
     stream = bucket_stream(key0, key1, y0a, dira, cfg.ovlp_upper,
                            spill_dir=cfg.spill_dir)
     log2.info("overlap dedup: pair map %.1fs (%d entries)%s + stream %.1fs",
               _t1 - _t0, len(key0), " [shared]" if pairs is not None else "",
               _t.time() - _t1)
+    if pairs is None:
+        # the replay stream fully replaces the pair map from here on;
+        # freeing the five columns now (not at function exit) drops
+        # ~33 B/entry of anonymous-or-spill footprint (~11 GB at the
+        # human-class rung) before the alignment rounds allocate theirs
+        del key0, key1, y0a, y1a, dira
     sys_, sdirs, spos, sbs, sbe = stream
     db_data = np.ascontiguousarray(db.data, np.uint8) \
         if not db.data.flags.c_contiguous else db.data

@@ -426,6 +426,20 @@ class Assembly:
                                          n_workers=n_workers,
                                          backend="device",
                                          pairs=self._pair_map())
+            elif dedup and self.cfg.spill_dir is not None \
+                    and not self.cfg.shard_overlap:
+                # low-memory mode: sharing the stage-2/stage-4 pair map
+                # would pin its ~33 B/entry spill file on disk across
+                # stages 2-4 (~11 GB at the human-class rung, on top of
+                # the replay stream + result arena the overlap rounds
+                # themselves spill).  Let overlap_all_spec build and free
+                # its own copy; stage 4 rebuilds (~12 s/250 Mb fused
+                # native build — cheap next to the disk headroom).
+                from ..ops.overlap import overlap_all_spec
+                ovlps = overlap_all_spec(
+                    self.db, self.idx, self.cfg,
+                    n_workers=n_workers or (os.cpu_count() or 1),
+                    backend="host", pairs=None)
             elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
                 if n_chunks or n_workers:
@@ -553,7 +567,11 @@ class Assembly:
                 self.idx, self.db.lengths, ctg_idx, self.cfg,
                 os.path.join(cns_dir, "read_map.npy"), len(ctg_db),
                 pairs=self._pairs)
-            write_rows(mm, os.path.join(cns_dir, "read_map.txt"))
+            if os.environ.get("PG_SKIP_MAP_TXT") != "1":
+                # read_map.txt is a diagnostic mirror of read_map.npy
+                # (shmr_map's text output); at the human-class rung it
+                # costs ~5 GB of scarce disk, so allow opting out
+                write_rows(mm, os.path.join(cns_dir, "read_map.txt"))
             n_rows = len(mm)
             contig_rows = {rid: mm[offs[rid]:offs[rid + 1]]
                            for rid in range(len(ctg_db))}
