@@ -249,3 +249,65 @@ def verify_fasta(fa_path: str, genome: bytes, circular: bool = True,
         r["name"] = name
         out.append(r)
     return out
+
+def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
+                         circular: bool = True, min_len: int = 50000,
+                         probe_at: int = 1024) -> dict:
+    """Per-molecule verification for multi-chromosome assemblies.
+
+    The human-class ladder rung simulates ~24 equal molecules (the
+    31-bit in-index position field — the same y-packing as the
+    reference's mm128 layout, src/shimmer4.h — bounds any single
+    molecule to <2.1 Gb).  Each contig may come out in either
+    orientation and, for circular molecules, at any rotation, so for
+    every contig this (1) probes a unique interior 64-mer (fwd + rc)
+    against each chromosome to find candidates, (2) runs the exact
+    full-coverage verifier (verify_contig) against candidates first,
+    then remaining chromosomes as a fallback for a probe that happens
+    to straddle an error.
+
+    Returns {"contigs": [per-contig verify_contig dicts + name/chrom],
+    "distance", "length", "identity", "chroms_covered", "n_unanchored",
+    "n_small", "small_bases"} where distance/length/identity aggregate
+    the anchored contigs' exact Levenshtein totals.
+    """
+    probe_sp = [c + c[:300] for c in chroms] if circular else chroms
+    out: list[dict] = []
+    tot_d = tot_len = n_small = small_b = n_unanch = 0
+    claimed: set[int] = set()
+    for name, seq in sorted(ctgs.items(), key=lambda kv: -len(kv[1])):
+        s = bytes(seq).upper()
+        if len(s) < min_len:
+            n_small += 1
+            small_b += len(s)
+            continue
+        probe = s[probe_at:probe_at + 64] if len(s) > probe_at + 100 \
+            else s[:64]
+        rcp = revcomp_bytes(probe)
+        cand = [ci for ci, sp in enumerate(probe_sp)
+                if sp.find(probe) >= 0 or sp.find(rcp) >= 0]
+        order = cand + [ci for ci in range(len(chroms)) if ci not in cand]
+        r: dict = {"anchored": False}
+        for ci in order:
+            r = verify_contig(s, chroms[ci], circular=circular)
+            if r.get("anchored"):
+                r["chrom"] = ci
+                break
+        r["name"] = name
+        out.append(r)
+        if not r.get("anchored"):
+            n_unanch += 1
+            continue
+        tot_d += r["distance"]
+        tot_len += r["length"]
+        claimed.add(r["chrom"])
+    return {
+        "contigs": out,
+        "distance": tot_d,
+        "length": tot_len,
+        "identity": 1.0 - tot_d / max(tot_len, 1),
+        "chroms_covered": len(claimed),
+        "n_unanchored": n_unanch,
+        "n_small": n_small,
+        "small_bases": small_b,
+    }

@@ -180,51 +180,30 @@ def main():
     # an exact Landau-Vishkin edit-distance computation — the reported
     # distance is the true Levenshtein distance, not a greedy estimate
     # (peregrine_tpu/verify.py; VERDICT r3 item 4)
-    from peregrine_tpu.verify import revcomp_bytes, verify_contig
+    from peregrine_tpu.verify import verify_contig, verify_contigs_multi
     if n_chrom > 1:
         # per-molecule verification: probe a unique interior 64-mer to
         # find each contig's chromosome (contigs may sit in either
         # orientation and any circular rotation), then run the exact
         # full-coverage verifier against that chromosome only
         t0 = time.time()
-        probe_sp = [c + c[:300] for c in chroms]
-        tot_d = tot_len = n_ver = n_small = small_b = n_unanch = 0
-        claimed = set()
-        for name, seq in sorted(ctgs.items(), key=lambda kv: -len(kv[1])):
-            s = bytes(seq).upper()
-            if len(s) < 50000:
-                n_small += 1
-                small_b += len(s)
+        agg = verify_contigs_multi(ctgs, chroms, circular=True)
+        for r in agg["contigs"]:
+            if not r.get("anchored"):
+                print(f"  {r['name']}: UNANCHORED", flush=True)
                 continue
-            probe = s[1024:1088] if len(s) > 1100 else s[:64]
-            rcp = revcomp_bytes(probe)
-            cand = [ci for ci, sp in enumerate(probe_sp)
-                    if sp.find(probe) >= 0 or sp.find(rcp) >= 0]
-            order = cand + [ci for ci in range(n_chrom) if ci not in cand]
-            r = None
-            for ci in order:
-                r = verify_contig(s, chroms[ci], circular=True)
-                if r.get("anchored"):
-                    r["chrom"] = ci
-                    break
-            if not r or not r.get("anchored"):
-                n_unanch += 1
-                print(f"  {name}: {len(s):,} b — UNANCHORED", flush=True)
-                continue
-            n_ver += 1
-            tot_d += r["distance"]
-            tot_len += r["length"]
-            claimed.add(r["chrom"])
-            print(f"  {name}: {r['length']:,} b -> chrom {r['chrom']} "
+            print(f"  {r['name']}: {r['length']:,} b -> chrom {r['chrom']} "
                   f"({r['orientation']}) exact dist={r['distance']} "
                   f"identity={r['identity']:.9f}", flush=True)
-        print(f"verified {n_ver} contigs covering {len(claimed)}/{n_chrom} "
-              f"chromosomes: total full-coverage EXACT dist={tot_d} over "
-              f"{tot_len:,} bases, identity="
-              f"{1.0 - tot_d / max(tot_len, 1):.9f} "
-              f"({n_small} contigs <50 kb totalling {small_b:,} b skipped, "
-              f"{n_unanch} unanchored; {time.time()-t0:.0f}s verify)",
-              flush=True)
+        print(f"verified {len(agg['contigs']) - agg['n_unanchored']} "
+              f"contigs covering {agg['chroms_covered']}/{n_chrom} "
+              f"chromosomes: total full-coverage EXACT "
+              f"dist={agg['distance']} over {agg['length']:,} bases, "
+              f"identity={agg['identity']:.9f} "
+              f"({agg['n_small']} contigs <50 kb totalling "
+              f"{agg['small_bases']:,} b skipped, "
+              f"{agg['n_unanchored']} unanchored; "
+              f"{time.time()-t0:.0f}s verify)", flush=True)
         print("stage walls:", dict(stages))
         return
     t0 = time.time()

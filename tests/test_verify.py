@@ -89,3 +89,38 @@ def test_verify_linear_subsequence():
     contig = g[100_000:350_000]
     r = verify_contig(contig, g, circular=False)
     assert r["exact"] and r["genome_pos"] == 100_000
+
+
+def test_verify_contigs_multi_attribution_and_totals():
+    """Multi-molecule verification: contigs in mixed orientation /
+    rotation / with injected errors are attributed to the right
+    chromosome and the aggregate distance is the exact sum."""
+    from peregrine_tpu.verify import verify_contigs_multi
+
+    rng = np.random.default_rng(11)
+    L = 120_000
+    chroms = [bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), L)
+                    .tobytes()) for _ in range(3)]
+    # contig 0: chrom 1 rotated by 31k, forward, clean
+    c0 = chroms[1][31_000:] + chroms[1][:31_000]
+    # contig 1: chrom 0 reverse-complemented with 2 substitutions
+    c1 = bytearray(revcomp_bytes(chroms[0]))
+    c1[5_000] = ord("A") if c1[5_000] != ord("A") else ord("C")
+    c1[80_000] = ord("G") if c1[80_000] != ord("G") else ord("T")
+    # contig 2: chrom 2 with one deletion
+    c2 = chroms[2][:60_000] + chroms[2][60_001:]
+    # plus a sub-min_len fragment that must be skipped
+    frag = chroms[0][:10_000]
+    agg = verify_contigs_multi(
+        {"a": c0, "b": bytes(c1), "c": c2, "tiny": frag}, chroms,
+        circular=True, min_len=50_000)
+    by_name = {r["name"]: r for r in agg["contigs"]}
+    assert by_name["a"]["chrom"] == 1 and by_name["a"]["distance"] == 0
+    assert by_name["b"]["chrom"] == 0 and by_name["b"]["distance"] == 2
+    assert by_name["b"]["orientation"] == "rc"
+    assert by_name["c"]["chrom"] == 2 and by_name["c"]["distance"] == 1
+    assert agg["distance"] == 3
+    assert agg["chroms_covered"] == 3
+    assert agg["n_small"] == 1 and agg["small_bases"] == 10_000
+    assert agg["n_unanchored"] == 0
+    assert agg["length"] == sum(map(len, (c0, c1, c2)))
