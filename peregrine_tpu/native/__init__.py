@@ -35,6 +35,19 @@ def _build() -> None:
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+def _bytes_at(ptr: int | None, nbytes: int) -> bytes:
+    """64-bit-safe ctypes.string_at.
+
+    The stdlib helper's size parameter is a C *int*: any native payload
+    >= 2 GiB wraps negative and raises SystemError (first hit at the
+    human-class 3 Gb rung, where one replay pass returns a ~6.5 GB
+    record block; the 1 Gb rung passed 2.1 GB — under the wrap by 2%).
+    A c_char-array view carries a Py_ssize_t length instead."""
+    if not ptr or nbytes <= 0:
+        return b""
+    return bytes((ctypes.c_char * nbytes).from_address(ptr))
+
+
 def _load() -> ctypes.CDLL:
     need = (not os.path.exists(_SO)
             or any(os.path.getmtime(s) > os.path.getmtime(_SO) for s in _SRC))
@@ -211,14 +224,12 @@ def overlap_replay(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
                           ctypes.byref(mreqs) if collect_misses else None,
                           sbp, scap, spp)
     try:
-        raw = ctypes.string_at(out.value, n_out.value * _REC_SIZE) \
-            if out.value and n_out.value else b""
+        raw = _bytes_at(out.value, n_out.value * _REC_SIZE)
         if collect_misses:
             n_over = n_miss.value - (int(stream_progress[0])
                                      if stream_buf is not None else 0)
-            mraw = ctypes.string_at(
-                mreqs.value, n_over * SPEC_REQ_DTYPE.itemsize) \
-                if mreqs.value and n_over else b""
+            mraw = _bytes_at(mreqs.value,
+                             n_over * SPEC_REQ_DTYPE.itemsize)
     finally:
         _lib.free_ovlp_recs_c(ctypes.byref(out))
         if collect_misses:
@@ -358,10 +369,9 @@ def parse_ovl(buf: bytes, min_len: int, min_idt: float):
                      ctypes.byref(rows), ctypes.byref(n_rows),
                      ctypes.byref(cont), ctypes.byref(n_cont))
     try:
-        raw = ctypes.string_at(rows.value, n_rows.value * OVL_ROW_DTYPE.itemsize) \
-            if rows.value and n_rows.value else b""
-        craw = ctypes.string_at(cont.value, n_cont.value * 4) \
-            if cont.value and n_cont.value else b""
+        raw = _bytes_at(rows.value,
+                        n_rows.value * OVL_ROW_DTYPE.itemsize)
+        craw = _bytes_at(cont.value, n_cont.value * 4)
     finally:
         _lib.free_ovl_rows_c(ctypes.byref(rows), ctypes.byref(cont))
     return (np.frombuffer(raw, OVL_ROW_DTYPE).copy() if raw
@@ -404,8 +414,8 @@ def spec_enum(ys: np.ndarray, dirs: np.ndarray, pos: np.ndarray,
     _lib.spec_enum_c(ysp, dirsp, posp, bsp, bep, len(bstart),
                      window, per_pair, ctypes.byref(out), ctypes.byref(n_out))
     try:
-        raw = ctypes.string_at(out.value, n_out.value * SPEC_REQ_DTYPE.itemsize) \
-            if out.value and n_out.value else b""
+        raw = _bytes_at(out.value,
+                        n_out.value * SPEC_REQ_DTYPE.itemsize)
     finally:
         _lib.free_spec_reqs_c(ctypes.byref(out))
     return (np.frombuffer(raw, dtype=SPEC_REQ_DTYPE).copy() if raw
@@ -611,7 +621,7 @@ def sg_build(rows: np.ndarray, cont: np.ndarray, lfc: bool,
         size = count * np.dtype(dtype).itemsize
         if not count:
             return np.zeros(0, dtype)
-        return np.frombuffer(ctypes.string_at(p.value, size), dtype).copy()
+        return np.frombuffer(_bytes_at(p.value, size), dtype).copy()
 
     try:
         res = {
