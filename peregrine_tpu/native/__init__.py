@@ -635,7 +635,7 @@ def sg_build(rows: np.ndarray, cont: np.ndarray, lfc: bool,
             "cls": arr(outs[7], np.uint8, ne),
             "chimer": arr(outs[8], np.int64, n_chimer.value),
             "best_in": arr(outs[9], np.int64, n_best.value),
-            "lines": (ctypes.string_at(outs[10].value, lines_len.value)
+            "lines": (_bytes_at(outs[10].value, lines_len.value)
                       if lines_len.value else b""),
         }
     finally:
@@ -696,10 +696,10 @@ def fastx_encode_append(in_path: str, out_path: str):
     if total < 0:
         raise OSError(f"fastx_encode failed for {in_path}")
     try:
-        raw = ctypes.string_at(names_p.value, names_len.value) \
+        raw = _bytes_at(names_p.value, names_len.value) \
             if names_len.value else b""
-        lens = (np.frombuffer(ctypes.string_at(lens_p.value,
-                                               count.value * 8),
+        lens = (np.frombuffer(_bytes_at(lens_p.value,
+                                        count.value * 8),
                               np.int64).copy()
                 if count.value else np.zeros(0, np.int64))
     finally:

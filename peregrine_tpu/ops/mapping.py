@@ -142,9 +142,13 @@ def _matched_buckets(read_idx: ShimmerIndex, read_lengths: np.ndarray,
     if pairs is not None and chunk == 1 and total_chunk == 1:
         key0, key1, y0a, y1a, dira = pairs
     else:
+        # Low-memory mode (run.py frees the stage-2 map before this stage
+        # rebuilds it) must not reintroduce the ~33 B/entry map as anon RSS:
+        # spill the rebuild exactly like the stage-2 build does.
         key0, key1, y0a, y1a, dira = build_pairs(
             read_idx, read_lengths, chunk, total_chunk,
-            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist)
+            cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist,
+            spill_dir=cfg.spill_dir)
 
     rx, ry = ref_idx.x, ref_idx.y
     n = len(rx)

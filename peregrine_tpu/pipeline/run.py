@@ -145,6 +145,33 @@ def _peak_rss_gb() -> float:
     return 0.0
 
 
+def _spill_free_bytes(spill_dir: str) -> int:
+    """Free bytes on the filesystem holding spill_dir (statvfs)."""
+    st = os.statvfs(spill_dir)
+    return st.f_bavail * st.f_frsize
+
+
+def _preflight_spill(spill_dir: str, projected: int, what: str) -> None:
+    """Fail fast with a sized diagnostic when the spill filesystem cannot
+    hold the projected spill bytes, instead of dying mid-write on ENOSPC
+    (the 3 Gb rung's first attempt died exactly that way — BENCH.md r4).
+
+    The projection is the same 2.0x-db-bytes scaling that engages
+    auto-spill; PG_SPILL_PREFLIGHT=0 disables the gate for filesystems
+    whose statvfs lies (e.g. some overlay mounts)."""
+    if os.environ.get("PG_SPILL_PREFLIGHT", "1") == "0":
+        return
+    free = _spill_free_bytes(spill_dir)
+    if free < projected:
+        raise RuntimeError(
+            f"spill preflight: {what} projects ~{projected / (1 << 30):.1f} "
+            f"GB of spill but {spill_dir} has only {free / (1 << 30):.1f} GB "
+            f"free — point --spill-dir at a larger filesystem, free disk, "
+            f"or set PG_SPILL_PREFLIGHT=0 to proceed anyway")
+    log.info("spill preflight: %s projects ~%.1f GB; %s has %.1f GB free",
+             what, projected / (1 << 30), spill_dir, free / (1 << 30))
+
+
 def _write_lines(path: str, lines) -> None:
     # checkpoint files are written atomically (tmp + rename) so a crash
     # mid-write cannot leave a truncated file that resume trusts
@@ -376,6 +403,7 @@ class Assembly:
         import dataclasses
         d = os.path.join(self.outdir, "spill")
         os.makedirs(d, exist_ok=True)
+        _preflight_spill(d, projected, "auto-spill (overlap stage)")
         self.cfg = dataclasses.replace(self.cfg, spill_dir=d)
         log.info("auto-spill: projected overlap anon ~%.1f GB exceeds "
                  "the %.1f GB budget (PG_MEM_BUDGET/MemAvailable) — "
@@ -389,6 +417,12 @@ class Assembly:
         if not _stage_done(path):
             t0 = time.time()
             self._maybe_auto_spill()
+            if self.cfg.spill_dir is not None and self.db is not None:
+                # explicit --spill-dir: same capacity gate auto-spill gets
+                os.makedirs(self.cfg.spill_dir, exist_ok=True)
+                _preflight_spill(self.cfg.spill_dir,
+                                 int(2.0 * self.db.data.nbytes),
+                                 "overlap stage spill")
             dedup = self.cfg.dedup_overlap
             if self.cfg.use_device_aligner or self.cfg.hybrid_overlap:
                 log.warning(
@@ -464,10 +498,15 @@ class Assembly:
                            else None))
             from ..ops.overlap import write_ovl_file
             n_rows = write_ovl_file(path, ovlps)
+            spill_line = ""
+            if self.cfg.spill_dir is not None:
+                spill_line = (", spill free %.1f GB"
+                              % (_spill_free_bytes(self.cfg.spill_dir)
+                                 / (1 << 30)))
             log.info("stage 2 overlap: %d records -> %d rows (%.1fs; "
-                     "peak RSS %.1f GB, anon %.1f GB%s)",
+                     "peak RSS %.1f GB, anon %.1f GB%s%s)",
                      len(ovlps), n_rows, time.time() - t0, _peak_rss_gb(),
-                     _anon_rss_gb(), _hbm_stats_line())
+                     _anon_rss_gb(), _hbm_stats_line(), spill_line)
         return path
 
     # --- stage 3: layout + draft contigs --------------------------------

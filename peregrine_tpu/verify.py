@@ -281,11 +281,20 @@ def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
             n_small += 1
             small_b += len(s)
             continue
-        probe = s[probe_at:probe_at + 64] if len(s) > probe_at + 100 \
-            else s[:64]
-        rcp = revcomp_bytes(probe)
+        # Probe several spread offsets (ADVICE r4): a single probe that
+        # happens to straddle an assembly error would demote every
+        # chromosome to the exact-verify fallback (up to 24 full 125 Mb
+        # scans at the human-class rung).  Any one clean probe anchors.
+        if len(s) > probe_at + 100:
+            offs = sorted({probe_at, len(s) // 2,
+                           max(probe_at, len(s) - 2048)})
+        else:
+            offs = [0]
+        probes = [s[o:o + 64] for o in offs if len(s) >= o + 64] or [s[:64]]
+        rcps = [revcomp_bytes(p) for p in probes]
         cand = [ci for ci, sp in enumerate(probe_sp)
-                if sp.find(probe) >= 0 or sp.find(rcp) >= 0]
+                if any(sp.find(p) >= 0 or sp.find(rp) >= 0
+                       for p, rp in zip(probes, rcps))]
         order = cand + [ci for ci in range(len(chroms)) if ci not in cand]
         r: dict = {"anchored": False}
         for ci in order:

@@ -166,6 +166,14 @@ def main():
                 "dnadiff block identity.\n")
     print("report written:", os.path.abspath(rep), flush=True)
 
+    # regression gate (make check): every comparison must anchor and
+    # reach the BASELINE mutual-identity bar
+    bad = [t for t, _, d, idt in rows
+           if idt == "unanchored" or float(idt) < 0.999]
+    if bad:
+        print("GATE FAILED:", bad, flush=True)
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

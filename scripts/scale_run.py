@@ -42,6 +42,10 @@ def main():
                          "and the 31-bit in-index position field — same "
                          "y-packing as the reference's mm128 layout — "
                          "bounds any single molecule to <2.1 Gb)")
+    ap.add_argument("--assert-identity", type=float, default=None,
+                    help="exit non-zero unless every contig anchors and "
+                         "aggregate exact identity >= this threshold "
+                         "(the `make check` regression gate)")
     args = ap.parse_args()
     if args.chromosomes > 1 and not args.sim_direct:
         ap.error("--chromosomes requires --sim-direct")
@@ -73,8 +77,11 @@ def main():
     n_chrom = args.chromosomes
     t0 = time.time()
     if n_chrom > 1:
-        clen = glen // n_chrom
-        chroms = [random_genome(rng, clen) for _ in range(n_chrom)]
+        # distribute the remainder so the simulated total is exactly glen
+        # (ADVICE r4: floor division silently under-simulated the rung)
+        base, rem = divmod(glen, n_chrom)
+        clens = [base + (1 if i < rem else 0) for i in range(n_chrom)]
+        chroms = [random_genome(rng, cl) for cl in clens]
         genome = chroms[0]  # single-chrom code paths below are unused
     else:
         genome = random_genome(rng, glen)
@@ -205,6 +212,13 @@ def main():
               f"{agg['n_unanchored']} unanchored; "
               f"{time.time()-t0:.0f}s verify)", flush=True)
         print("stage walls:", dict(stages))
+        if args.assert_identity is not None and (
+                agg["n_unanchored"] or agg["chroms_covered"] < n_chrom
+                or agg["identity"] < args.assert_identity):
+            print(f"GATE FAILED: identity {agg['identity']:.9f} < "
+                  f"{args.assert_identity} or unanchored/uncovered "
+                  f"contigs", flush=True)
+            sys.exit(1)
         return
     t0 = time.time()
     longest = max(ctgs.values(), key=len)
@@ -223,6 +237,11 @@ def main():
               f"({len(r['segments'])} mismatch segments, "
               f"{time.time()-t0:.0f}s verify)", flush=True)
     print("stage walls:", dict(stages))
+    if args.assert_identity is not None and (
+            not r.get("anchored") or r["identity"] < args.assert_identity):
+        print(f"GATE FAILED: identity < {args.assert_identity} or "
+              f"contig unanchored", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
