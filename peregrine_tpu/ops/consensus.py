@@ -282,6 +282,55 @@ def consensus_for_contig(read_db: SeqDB, ref_db: SeqDB, ctg_rid: int,
     return stitch_segments(segments)
 
 
+def plan_all(contig_rows: dict[int, np.ndarray], ref_lengths: np.ndarray,
+             cfg: AsmConfig) -> dict[int, list]:
+    """Window plans for every contig — a pure function of the mapping
+    rows, so every multi-host rank derives the identical plan (and
+    therefore the identical deterministic job order) independently."""
+    return {rid: plan_windows(int(ref_lengths[rid]), rows,
+                              cfg.cns_window, cfg.cns_max_template)
+            for rid, rows in contig_rows.items()}
+
+
+def consensus_windows(read_db: SeqDB, ref_db: SeqDB, plans: dict[int, list],
+                      cfg: AsmConfig, n_workers: int,
+                      shard: tuple[int, int] | None = None
+                      ) -> dict[tuple[int, int], bytes]:
+    """Compute window consensus segments for (a shard of) the planned
+    windows; returns {(ctg_rid, window_i): segment}.
+
+    With shard=(rank, nranks) only jobs with job_index % nranks == rank
+    are computed — the reference's own distribution scheme one grain
+    finer (pg_asm_cns.py:59 shards whole contigs by ctg_id %
+    total_chunks; windows balance better when contig sizes skew)."""
+    import concurrent.futures as cf
+
+    jobs = [(rid, i, spec) for rid, specs in plans.items()
+            for i, spec in enumerate(specs)]
+    if shard is not None:
+        rank, nranks = shard
+        jobs = jobs[rank::nranks]
+    results: dict[tuple[int, int], bytes] = {}
+    with cf.ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
+        futs = {ex.submit(window_consensus, read_db, ref_db, rid,
+                          spec[0], spec[1], spec[2], cfg): (rid, i)
+                for rid, i, spec in jobs}
+        for f in cf.as_completed(futs):
+            results[futs[f]] = f.result()
+    return results
+
+
+def stitch_all(plans: dict[int, list],
+               results: dict[tuple[int, int], bytes]) -> dict[int, bytes]:
+    """Stitch per-window segments into final per-contig sequences
+    (serial per contig, same as the reference's in-chunk stitch)."""
+    out = {}
+    for rid, specs in plans.items():
+        segs = [results[(rid, i)] for i in range(len(specs))]
+        out[rid] = stitch_segments(segs) if segs else b""
+    return out
+
+
 def consensus_parallel(read_prefix: str, ref_prefix: str,
                        contig_rows: dict[int, np.ndarray],
                        ref_lengths: np.ndarray, cfg: AsmConfig,
@@ -294,24 +343,8 @@ def consensus_parallel(read_prefix: str, ref_prefix: str,
     ctypes call into native/consensus.cpp, which releases the GIL for the
     whole alignment+pileup+DP, so threads scale like processes without
     the ~2 s/worker spawn+preload tax or per-window pickling."""
-    import concurrent.futures as cf
-
     read_db = SeqDB.open(read_prefix)
     ref_db = SeqDB.open(ref_prefix)
-    plans = {rid: plan_windows(int(ref_lengths[rid]), rows,
-                               cfg.cns_window, cfg.cns_max_template)
-             for rid, rows in contig_rows.items()}
-    jobs = [(rid, i, spec) for rid, specs in plans.items()
-            for i, spec in enumerate(specs)]
-    results: dict[tuple[int, int], bytes] = {}
-    with cf.ThreadPoolExecutor(max_workers=max(1, n_workers)) as ex:
-        futs = {ex.submit(window_consensus, read_db, ref_db, rid,
-                          spec[0], spec[1], spec[2], cfg): (rid, i)
-                for rid, i, spec in jobs}
-        for f in cf.as_completed(futs):
-            results[futs[f]] = f.result()
-    out = {}
-    for rid, specs in plans.items():
-        segs = [results[(rid, i)] for i in range(len(specs))]
-        out[rid] = stitch_segments(segs) if segs else b""
-    return out
+    plans = plan_all(contig_rows, ref_lengths, cfg)
+    results = consensus_windows(read_db, ref_db, plans, cfg, n_workers)
+    return stitch_all(plans, results)

@@ -633,7 +633,8 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
                      n_workers: int | None = None, window: int = 0,
                      per_pair: int = 1, pairs=None,
                      max_rounds: int = 8, backend: str = "host",
-                     seqdb_dev=None) -> np.ndarray:
+                     seqdb_dev=None, shard: tuple[int, int] | None = None,
+                     exchange=None, run_final: bool = True) -> np.ndarray:
     """Globally-deduplicated parallel overlap detection.
 
     The scaling scheme that replaces hash chunking: discover the accept
@@ -662,6 +663,20 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     no extra chunks, so no duplicated work, fixing the old hybrid's
     measured flaw).  Whatever the backend cannot align falls to the final
     exact pass's native aligner.
+
+    Multi-host sharding (VERDICT r4 item 1; reference analog: N
+    independent shmr_overlap processes over a shared filesystem,
+    py/scripts/pg_run.py:320-342): with shard=(rank, nranks) every rank
+    runs the IDENTICAL deterministic collect loop, but rank r aligns
+    only the request-buffer blocks it owns (block-cyclic: streamed block
+    b of 4096 iff b % nranks == r, overflow block of 1024 likewise).
+    After each round `exchange(rnd, reqs, res, mine)` must return the
+    full result array (peers' rows filled — shared-FS files or
+    collectives); every rank then merges the identical full set, so
+    cache state — and therefore the next round's collected request
+    set — stays byte-equal across ranks.  The final exact pass runs
+    only where run_final=True (rank 0); other ranks return None.
+    Requires backend="host" and window=0.
     """
     import logging
     import os as _os
@@ -670,6 +685,9 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     from ..native import spec_enum
 
     log2 = logging.getLogger("peregrine_tpu")
+    if shard is not None and (backend != "host" or window > 0):
+        raise ValueError("shard=(rank, nranks) requires backend='host' "
+                         "and window=0")
     if n_workers is None:
         n_workers = _os.cpu_count() or 1
     _t0 = _t.time()
@@ -738,15 +756,20 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
     cap0 = min(64 << 20, max(1 << 22,
                              4 * cfg.best_n_ovlp * len(db.lengths)))
     prev_miss = cap0
+    my_aligned = 0
     for rnd in range(max_rounds):
         if backend == "host":
             _tr = _t.time()
             cap = int(min(cap0, max(prev_miss, 1 << 16)))
-            miss, missreqs, rres = _collect_align_streaming(
-                db, cfg, stream, arena.view(), db_data, n_workers, cap)
+            miss, missreqs, rres, mine = _collect_align_streaming(
+                db, cfg, stream, arena.view(), db_data, n_workers, cap,
+                shard=shard)
             if miss == 0:
                 break
             _ta = _t.time()
+            my_aligned += int(mine.sum())
+            if exchange is not None:
+                rres = exchange(rnd, missreqs, rres, mine)
             rhave = np.ones(len(missreqs), bool)
             merge(missreqs, rres, rhave)
             total_aligned += len(missreqs)
@@ -788,6 +811,11 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
         log2.info("overlap dedup round %d: %d misses harvested", rnd + 1,
                   len(missreqs))
 
+    if shard is not None:
+        log2.info("overlap dedup rank share: %d of %d round alignments",
+                  my_aligned, total_aligned)
+    if not run_final:
+        return None
     _tf = _t.time()
     recs, miss = overlap_chunk_native(db, idx, cfg, stream=stream[:5],
                                       cache=arena.view())
@@ -799,7 +827,8 @@ def overlap_all_spec(db: SeqDB, idx: ShimmerIndex, cfg: AsmConfig,
 
 
 def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
-                             db_data, n_workers: int, cap: int):
+                             db_data, n_workers: int, cap: int,
+                             shard: tuple[int, int] | None = None):
     """One collect-mode replay pass with CONCURRENT alignment of the
     streamed misses: the single-core replay writes requests into a shared
     buffer behind an atomic progress counter while n_workers aligner
@@ -810,13 +839,21 @@ def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
     identical to the non-streamed pass (streaming changes who aligns,
     never what is collected), so output bytes are unchanged.
 
-    Returns (n_miss, requests, results[n, 8]) with every request aligned
-    (buffer overflow beyond `cap` is aligned in a parallel epilogue)."""
+    With shard=(rank, nranks) this rank aligns only its block-cyclic
+    share of the buffer — streamed block b (4096 rows) iff
+    b % nranks == rank, overflow block (1024 rows) likewise — leaving
+    peers' rows zeroed for the caller's exchange to fill.  Ownership is
+    a pure function of row index, so every rank can reconstruct every
+    other rank's mask from the (deterministic) collected order.
+
+    Returns (n_miss, requests, results[n, 8], mine) where `mine` marks
+    the rows this rank aligned (all True without shard)."""
     import threading
     import time as _time
 
     from ..native import SPEC_REQ_DTYPE, align_spec, overlap_replay
 
+    rank, nranks = shard if shard is not None else (0, 1)
     sys_, sdirs, spos, sbs, sbe = stream[:5]
     buf = np.zeros(cap, SPEC_REQ_DTYPE)
     prog = np.zeros(1, np.int64)
@@ -838,7 +875,12 @@ def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
 
     lock = threading.Lock()
     cursor = [0]
-    chunk = 4096
+    # block size scales with the EXPECTED round workload (a pure
+    # function of inputs identical on every rank, so ownership stays
+    # deterministic) — sizing from the buffer capacity would leave a
+    # toy-scale round entirely inside block 0 of one rank
+    est = 4 * cfg.best_n_ovlp * len(db.lengths)
+    chunk = int(min(4096, max(256, est // (16 * nranks))))
 
     def aligner():
         while True:
@@ -848,14 +890,22 @@ def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
                 # release store on weakly-ordered CPUs (plain loads are
                 # only safe on x86-TSO)
                 avail = int(prog[0])
+                fin = done.is_set()
                 lo = cursor[0]
-                hi = min(avail, lo + chunk)
-                cursor[0] = hi
+                if nranks > 1:
+                    # skip blocks owned by other ranks; never let one
+                    # align call cross a block boundary
+                    while (lo // chunk) % nranks != rank:
+                        lo = (lo // chunk + 1) * chunk
+                    hi = min(avail, (lo // chunk + 1) * chunk)
+                else:
+                    hi = min(avail, lo + chunk)
+                cursor[0] = hi if hi > lo else lo
             if hi > lo:
                 align_spec(buf, lo, hi, db_data, db.offsets, db.lengths,
                            cfg.aln_bw, res)
                 continue
-            if done.is_set() and lo >= int(prog[0]):
+            if fin and lo >= int(prog[0]):
                 break
             _time.sleep(0.002)
 
@@ -871,11 +921,24 @@ def _collect_align_streaming(db: SeqDB, cfg: AsmConfig, stream, cache,
     streamed = int(prog[0])
     reqs = buf[:streamed]
     rres = res[:streamed]
+    mine = np.ones(streamed + len(overflow), bool)
+    if nranks > 1:
+        mine[:streamed] = \
+            (np.arange(streamed) // chunk) % nranks == rank
     if len(overflow):
-        ores = _align_parallel(overflow, db, db_data, cfg.aln_bw, n_workers)
+        oslices = None
+        if nranks > 1:
+            ob = max(256, chunk // 4)
+            oslices = [(lo, min(lo + ob, len(overflow)))
+                       for lo in range(0, len(overflow), ob)
+                       if (lo // ob) % nranks == rank]
+            mine[streamed:] = \
+                (np.arange(len(overflow)) // ob) % nranks == rank
+        ores = _align_parallel(overflow, db, db_data, cfg.aln_bw,
+                               n_workers, slices=oslices)
         reqs = np.concatenate([reqs, overflow])
         rres = np.concatenate([rres, ores])
-    return n_miss, reqs, rres
+    return n_miss, reqs, rres, mine
 
 
 def _replay(db: SeqDB, cfg: AsmConfig, stream, cache, db_data,

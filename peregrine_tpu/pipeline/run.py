@@ -606,6 +606,10 @@ class Assembly:
                 self.idx, self.db.lengths, ctg_idx, self.cfg,
                 os.path.join(cns_dir, "read_map.npy"), len(ctg_db),
                 pairs=self._pairs)
+            # per-contig offsets persist beside the grouped rows so any
+            # process (multihost consensus ranks, resume) can re-open the
+            # mapping without recomputing it
+            np.save(os.path.join(cns_dir, "read_map_offs.npy"), offs)
             if os.environ.get("PG_SKIP_MAP_TXT") != "1":
                 # read_map.txt is a diagnostic mirror of read_map.npy
                 # (shmr_map's text output); at the human-class rung it
@@ -660,6 +664,150 @@ class Assembly:
         self.build_overlaps()
         return self.build_contigs()
 
+    def _mh_overlap(self, rank: int, nranks: int, barrier) -> None:
+        """Stage 2 with the alignment rounds sharded across ranks
+        (VERDICT r4 item 1; reference analog: N shmr_overlap processes
+        over a shared filesystem, py/scripts/pg_run.py:320-342).
+
+        Every rank runs the identical deterministic collect loop
+        (overlap_all_spec); rank r aligns only its block-cyclic share of
+        each round's request buffer, results ride the shared filesystem
+        (exchange files + a device barrier per round), every rank merges
+        the identical full result set, and the final exact replay runs
+        on rank 0 only — so preads.ovl is byte-identical to the
+        single-process run at ANY rank count."""
+        from ..ops.overlap import overlap_all_spec, write_ovl_file
+
+        path = os.path.join(self.outdir, "2-ovlp", "preads.ovl")
+        xdir = os.path.join(self.outdir, "2-ovlp", "xchg")
+        os.makedirs(xdir, exist_ok=True)
+        self._maybe_auto_spill()
+
+        def exchange(rnd: int, reqs, res, mine):
+            my_idx = np.flatnonzero(mine)
+            p = os.path.join(xdir, f"res-r{rnd}-p{rank}.npz")
+            np.savez(p + ".tmp.npz", idx=my_idx, res=res[my_idx],
+                     n=np.int64(len(res)))
+            os.replace(p + ".tmp.npz", p)
+            barrier(f"pg-tpu ovl-xchg-{rnd}")
+            for r in range(nranks):
+                if r == rank:
+                    continue
+                with np.load(os.path.join(
+                        xdir, f"res-r{rnd}-p{r}.npz")) as d:
+                    if int(d["n"]) != len(res):
+                        raise RuntimeError(
+                            f"overlap exchange round {rnd}: rank {r} "
+                            f"collected {int(d['n'])} requests vs local "
+                            f"{len(res)} — ranks diverged")
+                    res[d["idx"]] = d["res"]
+            return res
+
+        t0 = time.time()
+        n_workers = os.cpu_count() or 1
+        ovlps = overlap_all_spec(
+            self.db, self.idx, self.cfg, n_workers=n_workers,
+            backend="host", pairs=None, shard=(rank, nranks),
+            exchange=exchange, run_final=(rank == 0))
+        if rank == 0:
+            n_rows = write_ovl_file(path, ovlps)
+            log.info("stage 2 overlap [multihost x%d]: %d records -> %d "
+                     "rows (%.1fs on rank 0)", nranks, len(ovlps), n_rows,
+                     time.time() - t0)
+
+    def _mh_consensus(self, rank: int, nranks: int, barrier,
+                      n_workers: int | None = None) -> str:
+        """Stage 4 with consensus windows sharded by job index % nranks
+        (the reference's own scheme one grain finer — pg_asm_cns.py:59
+        shards whole contigs).  Rank 0 maps reads to contigs (external
+        grouped emission → read_map.npy + read_map_offs.npy on the
+        shared FS), every rank computes its window share, segment bytes
+        ride exchange files, rank 0 stitches and writes — byte-identical
+        to the single-process consensus."""
+        import pickle
+
+        from ..ops.consensus import consensus_windows, plan_all, stitch_all
+
+        cns_dir = os.path.join(self.outdir, "4-cns")
+        out_fa = os.path.join(cns_dir, "p_ctg_cns.fa")
+        if _stage_done(out_fa):
+            return out_fa
+        if rank == 0:
+            # rank 0 runs the mapping and persists the grouped rows
+            # (external emission, so peers can mmap the identical columns)
+            self._ensure_mapping()
+        barrier("pg-tpu stage4-map")
+
+        t0 = time.time()
+        ctg_prefix = os.path.join(cns_dir, "ctg")
+        ctg_db = SeqDB.open(ctg_prefix)
+        mm = np.load(os.path.join(cns_dir, "read_map.npy"), mmap_mode="r")
+        offs = np.load(os.path.join(cns_dir, "read_map_offs.npy"))
+        contig_rows = {rid: mm[offs[rid]:offs[rid + 1]]
+                       for rid in range(len(ctg_db))}
+        plans = plan_all(contig_rows, ctg_db.lengths, self.cfg)
+        if n_workers is None:
+            n_workers = os.cpu_count() or 1
+        if self._save_thread is not None:
+            # the window threads re-open the seqdb from disk
+            self._save_thread.join()
+            self._save_thread = None
+        read_db = SeqDB.open(
+            os.path.join(self.outdir, "0-seqdb", "seq_dataset"))
+        part = consensus_windows(read_db, ctg_db, plans, self.cfg,
+                                 n_workers, shard=(rank, nranks))
+        n_windows = sum(len(s) for s in plans.values())
+        log.info("stage 4 consensus [multihost]: rank %d computed %d of "
+                 "%d windows (%.1fs)", rank, len(part), n_windows,
+                 time.time() - t0)
+        xdir = os.path.join(cns_dir, "xchg")
+        os.makedirs(xdir, exist_ok=True)
+        p = os.path.join(xdir, f"cns-p{rank}.pkl")
+        with open(p + ".tmp", "wb") as f:
+            pickle.dump(part, f)
+        os.replace(p + ".tmp", p)
+        barrier("pg-tpu stage4-cns")
+        if rank != 0:
+            return out_fa
+        results = dict(part)
+        for r in range(1, nranks):
+            with open(os.path.join(xdir, f"cns-p{r}.pkl"), "rb") as f:
+                results.update(pickle.load(f))
+        seqs = stitch_all(plans, results)
+        with open(out_fa + ".tmp", "w") as f:
+            for ctg_rid in range(len(ctg_db)):
+                f.write(f">{ctg_db.names[ctg_rid]}\n"
+                        f"{seqs[ctg_rid].decode()}\n")
+        os.replace(out_fa + ".tmp", out_fa)
+        log.info("stage 4 consensus done [multihost x%d]", nranks)
+        return out_fa
+
+    def _ensure_mapping(self) -> None:
+        """Run the stage-4 mapping (ctg seqdb/index + grouped emission)
+        if its outputs are not already on disk — the shared-FS input of
+        the multihost consensus ranks."""
+        cns_dir = os.path.join(self.outdir, "4-cns")
+        os.makedirs(cns_dir, exist_ok=True)
+        if _stage_done(os.path.join(cns_dir, "read_map_offs.npy")):
+            return
+        from ..ops.index import build_index
+        from ..ops.mapping import map_reads_to_ref_grouped
+        t0 = time.time()
+        ctg_prefix = os.path.join(cns_dir, "ctg")
+        ctg_db = SeqDB.from_reads(
+            read_fastx(os.path.join(self.outdir, "3-asm", "p_ctg.fa")))
+        ctg_db.save(ctg_prefix)
+        ctg_idx = build_index(ctg_db, self.cfg)
+        mm, offs = map_reads_to_ref_grouped(
+            self.idx, self.db.lengths, ctg_idx, self.cfg,
+            os.path.join(cns_dir, "read_map.npy"), len(ctg_db),
+            pairs=self._pairs)
+        tmp = os.path.join(cns_dir, "read_map_offs.npy.tmp.npy")
+        np.save(tmp, offs)
+        os.replace(tmp, os.path.join(cns_dir, "read_map_offs.npy"))
+        log.info("stage 4 mapping: %d rows (%.1fs; external grouped)",
+                 len(mm), time.time() - t0)
+
     def run_multihost(self, reads_list: str, with_consensus: bool = False
                       ) -> str | None:
         """Multi-process pipeline over a shared filesystem (the mesh analog
@@ -667,22 +815,35 @@ class Assembly:
         py/scripts/pg_run.py:254-342 + README multi-machine guidance).
 
         Every process must have called jax.distributed.initialize
-        (parallel.distributed.init_distributed) first.  Rank 0 runs the
-        host stages (seqdb build, overlap, layout, consensus) and writes
-        every output; ALL ranks execute stage 1 over the global device
-        mesh in lockstep (data-parallel sketch + hash all_to_all +
-        replicating gather), so the index computation scales with the
-        pod while the checkpoint files stay rank-0-owned.  Returns the
-        final fasta path on rank 0, None elsewhere."""
+        (parallel.distributed.init_distributed) first.  Work
+        distribution per stage:
+
+          0 seqdb    rank 0 (streamed native encode; IO-bound)
+          1 index    ALL ranks over the global device mesh (data-parallel
+                     sketch + hash all_to_all + replicating gather)
+          2 overlap  ALL ranks — alignment rounds sharded block-cyclically
+                     (``_mh_overlap``), results exchanged per round over
+                     the shared FS; final exact replay on rank 0
+          3 layout   rank 0 (serial string graph, same as the reference)
+          4 mapping  rank 0; consensus windows sharded across ALL ranks
+                     (``_mh_consensus``)
+
+        Every stage output is byte-identical to the single-process run
+        at any rank count (scripts/multihost_pipeline.py asserts this
+        for 2 processes e2e).  Returns the final fasta path on rank 0,
+        None elsewhere."""
         import jax
         from jax.experimental import multihost_utils
 
         from ..parallel.sharded_index import build_index_mesh, make_mesh
 
-        primary = jax.process_index() == 0
+        rank = jax.process_index()
+        nranks = jax.process_count()
+        primary = rank == 0
+        barrier = multihost_utils.sync_global_devices
         if primary:
             self.build_db(reads_list=reads_list)
-        multihost_utils.sync_global_devices("pg-tpu stage0")
+        barrier("pg-tpu stage0")
         if not primary:
             self.db = SeqDB.open(
                 os.path.join(self.outdir, "0-seqdb", "seq_dataset"))
@@ -700,19 +861,33 @@ class Assembly:
             if primary:
                 self.idx.save(prefix, level=level)
                 log.info("stage 1 index [multihost x%d over %d devices]: "
-                         "%d SHIMMERs (%.1fs)", jax.process_count(),
+                         "%d SHIMMERs (%.1fs)", nranks,
                          len(jax.devices()), len(self.idx.x),
                          time.time() - t0)
-        multihost_utils.sync_global_devices("pg-tpu stage1")
+        barrier("pg-tpu stage1")
+
+        if not _stage_done(os.path.join(self.outdir, "2-ovlp",
+                                        "preads.ovl")):
+            if nranks > 1:
+                self._mh_overlap(rank, nranks, barrier)
+            elif primary:
+                self.build_overlaps()
+        barrier("pg-tpu stage2")
 
         fa = None
         if primary:
-            self.build_overlaps()
             fa = self.build_contigs()
-            if with_consensus:
+        barrier("pg-tpu stage3")
+
+        if with_consensus:
+            if nranks > 1:
+                out = self._mh_consensus(rank, nranks, barrier)
+                if primary:
+                    fa = out
+            elif primary:
                 fa = self.build_consensus()
-        multihost_utils.sync_global_devices("pg-tpu final")
-        return fa
+        barrier("pg-tpu final")
+        return fa if primary else None
 
     def run(self, reads=None, reads_list: str | None = None,
             with_consensus: bool = True) -> str:
