@@ -66,11 +66,24 @@ def _pad_rows(flat: np.ndarray, floor_rows: int) -> np.ndarray:
     return rows
 
 
+def _amb_plane(ambb: np.ndarray, floor_rows: int = 1 << 17) -> jnp.ndarray:
+    """Ambiguity plane upload with ELISION: reads without a single
+    non-ACGT base (simulated data always; HiFi reads usually) make the
+    amb bytes all-zero — materialize the plane as device zeros instead
+    of shipping ~1 bit/base through the tunnel (a third of the
+    seqdb-plane transfer, and the same bytes again in the axon client's
+    never-reclaimed host staging — BENCH.md r5 upload-floor analysis)."""
+    rows = _pad_rows(ambb, floor_rows)
+    if not ambb.any():
+        return jnp.zeros(rows.shape, jnp.uint8)
+    return jnp.asarray(rows)
+
+
 def upload_seqdb(data: np.ndarray) -> PackedSeqDB:
     """Pack and move the seqdb to device HBM (one-time per stage)."""
     fw, ambb = pack_db_np(data)
     return PackedSeqDB(fw=jnp.asarray(_pad_rows(fw, 1 << 19)),
-                       amb=jnp.asarray(_pad_rows(ambb, 1 << 17)))
+                       amb=_amb_plane(ambb))
 
 
 class SeqDBUploader:
@@ -119,7 +132,11 @@ class SeqDBUploader:
         self._acc_fw, self._acc_amb = [], []
         if len(fw) % 128 == 0 and len(amb) % 128 == 0:
             self._fw_parts.append(jnp.asarray(fw.reshape(-1, 128)))
-            self._amb_parts.append(jnp.asarray(amb.reshape(-1, 128)))
+            # amb elision per piece: all-zero ambiguity bytes become
+            # device zeros (no transfer, no client staging)
+            self._amb_parts.append(
+                jnp.zeros((len(amb) // 128, 128), jnp.uint8)
+                if not amb.any() else jnp.asarray(amb.reshape(-1, 128)))
         else:  # only the final ragged piece
             self._fw_parts.append(fw)
             self._amb_parts.append(amb)

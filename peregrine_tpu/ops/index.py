@@ -212,6 +212,57 @@ def _length_buckets(lengths: np.ndarray, unit: int) -> dict[int, np.ndarray]:
     return out
 
 
+def _staging_budget() -> int:
+    """Host-anon budget for the axon client's per-put staging (which is
+    never reclaimed within a process — index_worker.py docstring)."""
+    return int(os.environ.get("PG_STAGING_BUDGET", str(12 << 30)))
+
+
+def _run_segment_worker(db_prefix: str, cfg: AsmConfig,
+                        segs: list[tuple[np.ndarray, int, int]],
+                        tmpdir: str):
+    """A batch of segments in one short-lived subprocess; returns
+    [(x, y), ...] in the given order."""
+    import json
+    import subprocess
+    import sys
+
+    import jax
+
+    cfg_path = os.path.join(tmpdir, "cfg.json")
+    if not os.path.exists(cfg_path):
+        with open(cfg_path, "w") as f:
+            f.write(cfg.to_json())
+    manifest = []
+    for g, lo, hi in segs:
+        manifest.append([int(g[0]), int(g[-1]) + 1, int(lo), int(hi),
+                         os.path.join(tmpdir, f"seg-{int(g[0])}")])
+    seg_path = os.path.join(tmpdir, f"segs-{manifest[0][0]}.json")
+    with open(seg_path, "w") as f:
+        json.dump(manifest, f)
+    env = dict(os.environ)
+    if jax.default_backend() == "cpu":
+        env["PG_WORKER_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "peregrine_tpu.ops.index_worker",
+         db_prefix, cfg_path, seg_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"index segment worker rids [{manifest[0][0]}, "
+            f"{manifest[-1][1] - 1}] failed "
+            f"(rc={r.returncode}):\n{r.stdout[-3000:]}")
+    out = []
+    for _, _, _, _, out_prefix in manifest:
+        x = np.load(out_prefix + "-x.npy")
+        y = np.load(out_prefix + "-y.npy")
+        os.unlink(out_prefix + "-x.npy")
+        os.unlink(out_prefix + "-y.npy")
+        out.append((x, y))
+    return out
+
+
 def build_index_segmented(db: SeqDB, cfg: AsmConfig, budget_bytes: int,
                           keep_l0: bool = False):
     """build_index in contiguous read segments whose packed bytes fit an
@@ -220,8 +271,20 @@ def build_index_segmented(db: SeqDB, cfg: AsmConfig, budget_bytes: int,
     db-resident plane alone exceeds a single v5e's 16 GB HBM; measured
     RESOURCE_EXHAUSTED).  Per-read records are independent of batching,
     so the concatenated result is byte-identical to one build
-    (tests/test_index.py)."""
+    (tests/test_index.py).
+
+    Host-staging bound (VERDICT r4 item 3): the axon client permanently
+    retains every uploaded byte in host anon memory, so a multi-segment
+    build leaks ~fw-plane bytes (db/4) into RSS.  When that projection
+    exceeds PG_STAGING_BUDGET (default 12 GB) and the db lives on disk,
+    each segment runs in a short-lived worker subprocess
+    (ops.index_worker) whose staging dies with it — identical output,
+    parent anon bounded to the record arrays.  PG_INDEX_SUBPROC=1/0
+    forces/disables."""
     assert not keep_l0, "segmented build supports the production path only"
+    import logging
+    import time as _t
+    log2 = logging.getLogger("peregrine_tpu")
     n = len(db)
     groups: list[np.ndarray] = []
     start = 0
@@ -235,13 +298,63 @@ def build_index_segmented(db: SeqDB, cfg: AsmConfig, budget_bytes: int,
             end = start + 1  # single read larger than the budget
         groups.append(np.arange(start, end))
         start = end
+
+    db_path = getattr(db.data, "filename", None)
+    force = os.environ.get("PG_INDEX_SUBPROC")
+    subproc = (force == "1" if force is not None
+               else (db.data.nbytes // 4 > _staging_budget()
+                     and db_path is not None))
+    if subproc and db_path is None:
+        raise RuntimeError("PG_INDEX_SUBPROC=1 requires an on-disk seqdb")
     xs, ys = [], []
-    for g in groups:
-        lo = int(db.offsets[g[0]])
-        hi = int(db.offsets[g[-1]] + db.lengths[g[-1]])
-        part = build_index(db, cfg, rid_filter=g, db_window=(lo, hi))
-        xs.append(part.x)
-        ys.append(part.y)
+    tmpdir = None
+    if subproc:
+        import tempfile
+        tmpdir = tempfile.mkdtemp(prefix="pg-idxseg-")
+        log2.info("index: %d segments in worker subprocesses (%s; "
+                  "projected client staging %.1f GB, budget %.1f GB)",
+                  len(groups),
+                  "forced by PG_INDEX_SUBPROC" if force == "1"
+                  else "staging projection exceeds budget",
+                  db.data.nbytes / 4 / (1 << 30),
+                  _staging_budget() / (1 << 30))
+    if subproc:
+        # batch segments per worker so each child's retained staging
+        # stays ~<= PG_WORKER_STAGING (default 6 GB) while the ~tens of
+        # seconds of spawn+init+executable-load amortize over the batch
+        child_cap = int(os.environ.get("PG_WORKER_STAGING",
+                                       str(6 << 30)))
+        per_seg = max(1, budget_bytes // 4)
+        batch_n = max(1, child_cap // per_seg)
+        i = 0
+        while i < len(groups):
+            batch = groups[i:i + batch_n]
+            segs = []
+            for g in batch:
+                segs.append((g, int(db.offsets[g[0]]),
+                             int(db.offsets[g[-1]] + db.lengths[g[-1]])))
+            _ts = _t.time()
+            parts = _run_segment_worker(db_path[:-len(".seqdb")], cfg,
+                                        segs, tmpdir)
+            log2.info("index segments rids [%d, %d]: %d records "
+                      "(%d segments, %.1fs, worker subprocess)",
+                      batch[0][0], batch[-1][-1],
+                      sum(len(px) for px, _ in parts), len(batch),
+                      _t.time() - _ts)
+            for px, py in parts:
+                xs.append(px)
+                ys.append(py)
+            i += batch_n
+    else:
+        for g in groups:
+            lo = int(db.offsets[g[0]])
+            hi = int(db.offsets[g[-1]] + db.lengths[g[-1]])
+            part = build_index(db, cfg, rid_filter=g, db_window=(lo, hi))
+            xs.append(part.x)
+            ys.append(part.y)
+    if tmpdir is not None:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
     x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
     y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
     mh, mc = _merge_counts(x >> np.uint64(8), np.ones(len(x), np.uint32))

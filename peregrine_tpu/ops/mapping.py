@@ -145,10 +145,17 @@ def _matched_buckets(read_idx: ShimmerIndex, read_lengths: np.ndarray,
         # Low-memory mode (run.py frees the stage-2 map before this stage
         # rebuilds it) must not reintroduce the ~33 B/entry map as anon RSS:
         # spill the rebuild exactly like the stage-2 build does.
+        import logging
+        import time as _t
+        _tr = _t.time()
         key0, key1, y0a, y1a, dira = build_pairs(
             read_idx, read_lengths, chunk, total_chunk,
             cfg.mc_lower, cfg.mc_upper, cfg.min_anchor_dist,
             spill_dir=cfg.spill_dir)
+        logging.getLogger("peregrine_tpu").info(
+            "mapping: pair map rebuilt (%.1fs, %d entries%s)",
+            _t.time() - _tr, len(key0),
+            ", spilled" if cfg.spill_dir else "")
 
     rx, ry = ref_idx.x, ref_idx.y
     n = len(rx)

@@ -463,17 +463,27 @@ class Assembly:
             elif dedup and self.cfg.spill_dir is not None \
                     and not self.cfg.shard_overlap:
                 # low-memory mode: sharing the stage-2/stage-4 pair map
-                # would pin its ~33 B/entry spill file on disk across
-                # stages 2-4 (~11 GB at the human-class rung, on top of
-                # the replay stream + result arena the overlap rounds
-                # themselves spill).  Let overlap_all_spec build and free
-                # its own copy; stage 4 rebuilds (~12 s/250 Mb fused
-                # native build — cheap next to the disk headroom).
+                # pins its ~33 B/entry spill file on disk across stages
+                # 2-4 (~11 GB at the human-class rung, on top of the
+                # replay stream + result arena the overlap rounds
+                # themselves spill).  Share it only when the spill
+                # filesystem has the extra headroom (VERDICT r4 item 4:
+                # the unconditional rebuild cost stage 4 ~186 s at 3 Gb);
+                # otherwise let overlap_all_spec build and free its own
+                # copy and stage 4 rebuilds.
                 from ..ops.overlap import overlap_all_spec
+                free = _spill_free_bytes(self.cfg.spill_dir)
+                keep_map = free >= int(2.4 * self.db.data.nbytes)
+                log.info("overlap spill mode: %s the stage-2/4 pair map "
+                         "(spill free %.1f GB vs %.1f GB to keep it)",
+                         "sharing" if keep_map else "not sharing",
+                         free / (1 << 30),
+                         2.4 * self.db.data.nbytes / (1 << 30))
                 ovlps = overlap_all_spec(
                     self.db, self.idx, self.cfg,
                     n_workers=n_workers or (os.cpu_count() or 1),
-                    backend="host", pairs=None)
+                    backend="host",
+                    pairs=self._pair_map() if keep_map else None)
             elif self.cfg.use_device_aligner:
                 from ..ops.overlap import overlap_chunk_device
                 if n_chunks or n_workers:
@@ -590,7 +600,13 @@ class Assembly:
         ctg_db = SeqDB.from_reads(
             read_fastx(os.path.join(self.outdir, "3-asm", ctg_fa)))
         ctg_db.save(ctg_prefix)
+        t_db = time.time()
         ctg_idx = build_index(ctg_db, self.cfg)
+        t_idx = time.time()
+        log.info("stage 4 phase walls: ctg db %.1fs, ctg index %.1fs"
+                 "%s", t_db - t0, t_idx - t_db,
+                 "" if self._pairs is not None
+                 else " (pair map rebuild follows)")
         from ..native import write_rows
         # external grouped emission bounds this stage's anonymous peak
         # (the reference's `sort -T tmp -S 8g` analog,

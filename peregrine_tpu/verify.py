@@ -106,6 +106,30 @@ def exact_edit_distance(a: bytes, b: bytes, dmax: int = 1 << 30) -> int:
     return dmax
 
 
+def _likely_alignable(seg_q: bytes, seg_t: bytes,
+                      samples: int = 24, thresh: float = 0.25) -> bool:
+    """Cheap pre-screen before the exact O(ND) segment alignment: sample
+    16-mers of seg_q and count how many occur verbatim in seg_t
+    (memchr-fast bytes.find).  Honest error segments (<=~5%% divergence,
+    the only ones the capped DP can finish anyway) keep >=~44%% of their
+    16-mers; an unrelated/junk pairing keeps ~0%%.  Without this screen
+    a wrong-copy re-anchor on a repeat-bearing genome pays the full
+    capped DP (O(cap^2) python) per junk segment — the screen answers
+    in ~ms instead."""
+    nq = len(seg_q)
+    if nq < 512:
+        return True  # small DPs are cheap; skip the screen
+    if len(seg_t) < 16:
+        return False
+    step = max(1, (nq - 16) // samples)
+    hits = total = 0
+    for s in range(0, nq - 16, step):
+        total += 1
+        if seg_t.find(seg_q[s:s + 16]) >= 0:
+            hits += 1
+    return hits >= thresh * total
+
+
 def _find_local(g: np.ndarray, pat: np.ndarray, lo: int, hi: int) -> int:
     """Find pat (64-mer) in g[lo:hi]; return absolute position or -1."""
     lo = max(lo, 0)
@@ -122,32 +146,58 @@ def _find_local(g: np.ndarray, pat: np.ndarray, lo: int, hi: int) -> int:
 
 
 def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
-                  chunk: int = 1 << 24) -> dict:
+                  chunk: int = 1 << 24, max_anchor_occ: int = 6) -> dict:
     """Full-coverage exact verification of one contig against a genome.
 
     Returns a dict with orientation, anchored start, exact total edit
     distance, verified span, identity, and the list of mismatch
     segments (qpos, seg_len, seg_dist) for reporting.
+
+    On repeat-bearing genomes the anchor 64-mer may occur at several
+    loci (a segdup copy, a tandem unit); anchoring on the wrong copy
+    would report a wrecked identity for a perfectly good contig.  Every
+    occurrence (up to max_anchor_occ per orientation) is therefore
+    tried, keeping the best result and stopping early once identity
+    >= 0.9999 — unique-anchor contigs still cost one pass.
     """
     g = genome + genome[: len(contig) + 70000] if circular else genome
     gn = np.frombuffer(g, np.uint8)
     K = 64
-    best = None
+    anchors = []
     for tag, cand in (("fwd", contig.upper()), ("rc",
                                                 revcomp_bytes(contig.upper()))):
         cn = np.frombuffer(cand, np.uint8)
         # anchor an early error-free 64-mer (try successive offsets in
         # case the very first bases carry an error)
         for qa in range(0, min(len(cand) - K, 16 * K) + 1, K):
-            p = g.find(bytes(cn[qa:qa + K].tobytes()))
+            pat = bytes(cn[qa:qa + K].tobytes())
+            p = g.find(pat)
             if p >= 0:
-                best = (tag, cand, cn, qa, p)
+                occ = 0
+                while p >= 0 and occ < max_anchor_occ:
+                    anchors.append((tag, cand, cn, qa, p))
+                    p = g.find(pat, p + 1)
+                    occ += 1
                 break
-        if best:
-            break
-    if best is None:
+    if not anchors:
         return {"anchored": False}
-    tag, cand, cn, qa, p = best
+    best_res: dict = {"anchored": False}
+    for tag, cand, cn, qa, p in anchors:
+        r = _verify_from_anchor(g, gn, len(genome), circular, tag, cand,
+                                cn, qa, p, chunk)
+        if not best_res.get("anchored") \
+                or r["distance"] < best_res["distance"]:
+            best_res = r
+        if best_res["identity"] >= 0.9999:
+            break
+    return best_res
+
+
+def _verify_from_anchor(g: bytes, gn: np.ndarray, genome_len: int,
+                        circular: bool, tag: str, cand: bytes,
+                        cn: np.ndarray, qa: int, p: int,
+                        chunk: int) -> dict:
+    K = 64
     n = len(cand)
     dist = 0
     segments = []
@@ -157,7 +207,7 @@ def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
         # minimizing over a few start offsets (free-start alignment —
         # indels in the prefix shift where it begins in the genome)
         if circular and p - qa - 8 < 0:
-            p += len(genome)
+            p += genome_len
         prefix = bytes(cn[:qa].tobytes())
         seg_d = qa
         for s in range(max(p - qa - 8, 0), p - qa + 9):
@@ -165,6 +215,8 @@ def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
         dist += seg_d
         segments.append((0, qa, seg_d))
     qpos, tpos = qa, p
+    breaks = 0
+    skip_w = 4096  # escalates while a junk region resists re-anchoring
     while qpos < n:
         span = min(n - qpos, len(g) - tpos, chunk)
         if span <= 0:
@@ -186,17 +238,62 @@ def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
         for G in (512, 4096, 32768, 262144, 2097152):
             if qpos + G + K > n:
                 # tail segment: align the remainder exactly against a
-                # genome window with slack
-                slack = 2000 + (n - qpos) // 16
-                seg_d = exact_edit_distance(
-                    bytes(cn[qpos:].tobytes()),
-                    g[tpos:tpos + (n - qpos) + slack][: n - qpos + slack])
-                # aligning the tail against a LONGER window can only
-                # reduce apparent distance via free end-gaps; bound it
-                # by also trying the exact-length window and taking min
-                seg_d2 = exact_edit_distance(bytes(cn[qpos:].tobytes()),
-                                             g[tpos:tpos + (n - qpos)])
-                seg_d = min(seg_d, seg_d2)
+                # genome window with slack.  dmax caps the O(ND) walk —
+                # a grossly diverged tail (e.g. a chimeric contig whose
+                # junction sits near its end, possible on repeat-bearing
+                # genomes) would otherwise cost O(len^2); past the cap
+                # the tail counts as all-wrong, which is what the
+                # identity gate reports anyway
+                tail = n - qpos
+                slack = 2000 + tail // 16
+                if not _likely_alignable(
+                        bytes(cn[qpos:].tobytes()),
+                        g[tpos:tpos + tail + slack]):
+                    # junk tail here does NOT mean junk contig: fall
+                    # through to the unplaced path, whose global
+                    # re-anchor can re-seat a break at another locus
+                    break
+                if tail <= 16384:
+                    cap = max(2000, tail // 8)
+                    seg_d = exact_edit_distance(
+                        bytes(cn[qpos:].tobytes()),
+                        g[tpos:tpos + tail + slack][: tail + slack],
+                        dmax=cap)
+                    # a LONGER window can only reduce apparent distance
+                    # via free end-gaps; bound by the exact-length
+                    # window and take the min
+                    seg_d2 = exact_edit_distance(
+                        bytes(cn[qpos:].tobytes()),
+                        g[tpos:tpos + tail], dmax=cap)
+                    seg_d = min(seg_d, seg_d2)
+                    if seg_d >= cap:
+                        seg_d = tail
+                else:
+                    # long diverged tail (e.g. a segdup-allele mosaic at
+                    # ~1% divergence has no reliable exact 64-mer
+                    # anchors): the exact O(ND) python DP is O(D^2) and
+                    # D ~ 1%*tail freezes it.  Use the native greedy
+                    # O(ND) aligner — distance is a (tight) upper bound
+                    # computed in C.  If it covers only a PREFIX (a
+                    # break hides inside the tail), consume the covered
+                    # prefix and keep walking so the global re-anchor
+                    # can re-seat the junction instead of drowning the
+                    # remainder in counted errors.
+                    from .native import dw_align
+                    a = dw_align(bytes(cn[qpos:].tobytes()),
+                                 g[tpos:tpos + tail + slack],
+                                 max(400, tail // 50), get_aln_str=False)
+                    covered = max(a.aln_q_e, 0)
+                    if covered < tail - 1024:
+                        if covered > 1024:
+                            dist += int(a.dist)
+                            segments.append((qpos, covered, int(a.dist)))
+                            qpos += covered
+                            tpos += max(a.aln_t_e, 0)
+                            skip_w = 4096
+                            placed = True
+                        break  # junction/junk: unplaced path re-anchors
+                    seg_d = int(a.dist) + (tail - covered)
                 dist += seg_d
                 segments.append((qpos, n - qpos, seg_d))
                 qpos = n
@@ -209,22 +306,55 @@ def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
                 continue
             seg_q = bytes(cn[qpos:qpos + G].tobytes())
             seg_t = g[tpos:t2]
-            seg_d = exact_edit_distance(seg_q, seg_t)
+            # dmax bounds the O(ND) walk: honest error segments have
+            # tiny D, but on repeat-bearing genomes a re-anchor can hit
+            # the WRONG tandem/segdup copy and hand this an arbitrarily
+            # diverged pair (unbounded D froze the first repeat rung).
+            # A capped-out segment is junk — skip-count it below; the
+            # larger-G retries would cap on the same junk, so bail out
+            # of the G ladder entirely.
+            cap = max(256, min(2048, G // 8))
+            if not _likely_alignable(seg_q, seg_t):
+                break
+            seg_d = exact_edit_distance(seg_q, seg_t, dmax=cap)
+            if seg_d >= cap:
+                break
             dist += seg_d
             segments.append((qpos, G, seg_d))
             qpos += G
             tpos = t2
             placed = True
+            skip_w = 4096
             break
         if not placed:
-            # could not re-anchor (dense error cluster): count the
-            # window as fully wrong and skip it — flagged in segments
-            W = 4096
-            w = min(W, n - qpos)
+            # local re-anchoring failed: either a dense error cluster or
+            # a BREAK — a join through a repeat whose other side lives at
+            # a different locus (chimeric/translocated contig).  Try a
+            # GLOBAL re-anchor of the next contig 64-mer: if it exists
+            # elsewhere in the genome, re-seat the cursor there and
+            # record a break instead of drowning the whole remainder in
+            # skip-counted "errors" — repeat-rung verification wants
+            # "identity over aligned spans + N breaks", not a wrecked
+            # identity (reference analog: dnadiff reports alignment
+            # blocks + breakpoints).
+            if breaks < 64 and qpos + 2 * K <= n:
+                pat = bytes(cn[qpos + K:qpos + 2 * K].tobytes())
+                p2 = g.find(pat)
+                if p2 >= 0 and abs((p2 - K) - tpos) > 256:
+                    seg_d = K  # the junction 64-mer itself counts wrong
+                    dist += seg_d
+                    segments.append((qpos, K, -K))
+                    breaks += 1
+                    qpos += K
+                    tpos = p2
+                    skip_w = 4096
+                    continue
+            w = min(skip_w, n - qpos)
             dist += w
             segments.append((qpos, w, -w))
             qpos += w
             tpos += w
+            skip_w = min(skip_w * 4, 1 << 20)
     return {
         "anchored": True,
         "orientation": tag,
@@ -233,6 +363,7 @@ def verify_contig(contig: bytes, genome: bytes, circular: bool = True,
         "distance": int(dist),
         "identity": 1.0 - dist / max(n, 1),
         "segments": segments,
+        "breaks": breaks,
         "exact": dist == 0,
     }
 
@@ -273,7 +404,7 @@ def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
     """
     probe_sp = [c + c[:300] for c in chroms] if circular else chroms
     out: list[dict] = []
-    tot_d = tot_len = n_small = small_b = n_unanch = 0
+    tot_d = tot_len = n_small = small_b = n_unanch = tot_breaks = 0
     claimed: set[int] = set()
     for name, seq in sorted(ctgs.items(), key=lambda kv: -len(kv[1])):
         s = bytes(seq).upper()
@@ -296,11 +427,18 @@ def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
                 if any(sp.find(p) >= 0 or sp.find(rp) >= 0
                        for p, rp in zip(probes, rcps))]
         order = cand + [ci for ci in range(len(chroms)) if ci not in cand]
+        # keep the BEST chromosome, not the first that anchors: on
+        # repeat-bearing genomes a probe can anchor in a segdup copy on
+        # the wrong chromosome with a wrecked identity
         r: dict = {"anchored": False}
         for ci in order:
-            r = verify_contig(s, chroms[ci], circular=circular)
-            if r.get("anchored"):
-                r["chrom"] = ci
+            ri = verify_contig(s, chroms[ci], circular=circular)
+            if not ri.get("anchored"):
+                continue
+            ri["chrom"] = ci
+            if not r.get("anchored") or ri["distance"] < r["distance"]:
+                r = ri
+            if r["identity"] >= 0.9999:
                 break
         r["name"] = name
         out.append(r)
@@ -309,6 +447,7 @@ def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
             continue
         tot_d += r["distance"]
         tot_len += r["length"]
+        tot_breaks += r.get("breaks", 0)
         claimed.add(r["chrom"])
     return {
         "contigs": out,
@@ -319,4 +458,5 @@ def verify_contigs_multi(ctgs: dict[str, bytes], chroms: list[bytes],
         "n_unanchored": n_unanch,
         "n_small": n_small,
         "small_bases": small_b,
+        "breaks": tot_breaks,
     }

@@ -46,7 +46,28 @@ def run(cmd, cwd, env=None):
     return r
 
 
+def k12_like_genome(rng, np):
+    """K12-shaped repeat content (VERDICT r4 item 2: the real K12 carries
+    ~7 rRNA operons of ~5 kb at near-identity plus dispersed IS
+    elements): a 4.64 Mb backbone with 7 pasted ~5 kb operon copies at
+    ~99.5% identity and 20 ~1.2 kb IS copies at ~97%."""
+    from simdata import mutate, random_genome
+    backbone = bytearray(random_genome(rng, K12_LEN))
+    rrn = random_genome(rng, 5000)
+    is_el = random_genome(rng, 1200)
+    for unit, n_cp, div in ((rrn, 7, 0.005), (is_el, 20, 0.03)):
+        for p in sorted(rng.integers(50_000, K12_LEN - 10_000,
+                                     n_cp).tolist()):
+            copy = mutate(rng, unit, div)
+            backbone[p:p + len(copy)] = copy
+    return bytes(backbone)
+
+
 def main():
+    global BASE
+    repeats = "--repeats" in sys.argv
+    if repeats:
+        BASE = "/tmp/ecoli_h2h_rep"
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
@@ -65,7 +86,11 @@ def main():
 
     os.makedirs(BASE, exist_ok=True)
     rng = np.random.default_rng(1655)
-    genome = random_genome(rng, K12_LEN)
+    genome = k12_like_genome(rng, np) if repeats \
+        else random_genome(rng, K12_LEN)
+    if repeats:
+        print("repeat-bearing K12 stand-in: 7x ~5 kb rRNA-like operons "
+              "@99.5% identity + 20x ~1.2 kb IS elements @97%", flush=True)
     with open(os.path.join(BASE, "K12MG1655.fa"), "w") as f:
         f.write(">K12MG1655_simulated\n")
         for i in range(0, len(genome), 80):
@@ -144,12 +169,15 @@ def main():
               f"identity={v['identity']:.7f}", flush=True)
 
     rep = os.path.join(os.path.dirname(__file__), "..", "docs_logs_r4",
-                       "ECOLI_H2H.md")
+                       "ECOLI_H2H_REPEATS.md" if repeats
+                       else "ECOLI_H2H.md")
     with open(rep, "w") as f:
         f.write(
             "# Literal ecoli_K12 head-to-head (reference's own simulator, "
             "seed 42)\n\n"
-            f"Genome: seeded random stand-in at the true K12MG1655 length "
+            f"Genome: seeded "
+            f"{'REPEAT-BEARING (7x ~5 kb rRNA-like operons @99.5% + 20x IS @97%)' if repeats else 'random'} "
+            f"stand-in at the true K12MG1655 length "
             f"({K12_LEN:,} bp; the genuine FASTA is a wget in the "
             "reference Makefile — no egress here).  Reads: "
             "`test/ecoli_K12/simulate_reads.py` run VERBATIM (8 files, "

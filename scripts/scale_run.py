@@ -42,6 +42,13 @@ def main():
                          "and the 31-bit in-index position field — same "
                          "y-packing as the reference's mm128 layout — "
                          "bounds any single molecule to <2.1 Gb)")
+    ap.add_argument("--repeats", action="store_true",
+                    help="repeat-stressed genome (VERDICT r4 item 2): "
+                         "dispersed ~5 kb elements at 85-95%% identity, "
+                         "tandem arrays, and ~99%%-identical segmental "
+                         "duplications — fires the string graph's hard "
+                         "paths (bundles/compound paths, repeat-bridge "
+                         "removal, a_ctg); requires --sim-direct")
     ap.add_argument("--assert-identity", type=float, default=None,
                     help="exit non-zero unless every contig anchors and "
                          "aggregate exact identity >= this threshold "
@@ -49,6 +56,8 @@ def main():
     args = ap.parse_args()
     if args.chromosomes > 1 and not args.sim_direct:
         ap.error("--chromosomes requires --sim-direct")
+    if args.repeats and not args.sim_direct:
+        ap.error("--repeats requires --sim-direct")
 
     if args.cpu:
         os.environ.setdefault("XLA_FLAGS",
@@ -76,7 +85,19 @@ def main():
     glen = int(args.genome_mb * 1e6)
     n_chrom = args.chromosomes
     t0 = time.time()
-    if n_chrom > 1:
+    rep_info = None
+    if args.repeats:
+        from simdata import repeat_genome
+        chroms, rep_info = repeat_genome(rng, glen, n_chrom=n_chrom)
+        genome = chroms[0]
+        print(f"repeat genome: {sum(len(c) for c in chroms)/1e6:.1f} Mb "
+              f"in {len(chroms)} chromosomes; "
+              f"{len(rep_info['dispersed'])} dispersed copies, "
+              f"{len(rep_info['tandem'])} tandem arrays, "
+              f"{len(rep_info['segdup'])} segdups "
+              f"{[(l, sc == dc) for (sc, _, l, dc, _) in rep_info['segdup']]}",
+              flush=True)
+    elif n_chrom > 1:
         # distribute the remainder so the simulated total is exactly glen
         # (ADVICE r4: floor division silently under-simulated the rung)
         base, rem = divmod(glen, n_chrom)
@@ -95,10 +116,16 @@ def main():
         n_reads = int(args.coverage * sum(len(w) for w in wrapped)
                       / args.read_len)
 
+        # chromosome pick weighted by length (repeat genomes differ in
+        # length by their segdup insertions; equal-length rungs reduce
+        # to the old uniform pick)
+        wl = np.array([len(w) for w in wrapped], np.float64)
+        wcum = np.cumsum(wl / wl.sum())
+
         def _read_gen():
             for i in range(n_reads):
-                w = wrapped[int(rng.integers(0, n_chrom))] \
-                    if n_chrom > 1 else g
+                w = wrapped[int(np.searchsorted(wcum, rng.random()))] \
+                    if len(wrapped) > 1 else g
                 rl = max(args.read_len // 3,
                          int(args.read_len
                              + rng.normal(0, args.read_len // 10)))
@@ -156,7 +183,9 @@ def main():
     cfg = AsmConfig(sketch_pad_len=32768, sketch_batch=256,
                     use_device_aligner=args.device_overlap,
                     hybrid_overlap=args.hybrid_overlap)
-    asm = Assembly(args.outdir, cfg)
+    # repeat rungs polish the alternate (bubble-branch) contigs too —
+    # a_ctg is part of what the rung must prove fires
+    asm = Assembly(args.outdir, cfg, with_alt=args.repeats)
     stages = []
 
     def _stage0():
@@ -188,6 +217,72 @@ def main():
     # distance is the true Levenshtein distance, not a greedy estimate
     # (peregrine_tpu/verify.py; VERDICT r3 item 4)
     from peregrine_tpu.verify import verify_contig, verify_contigs_multi
+    if args.repeats:
+        # hard-path activity counters (the POINT of the repeat rung:
+        # prove the machinery uniform-random genomes never fire actually
+        # ran) + per-contig exact verification tolerating the
+        # known-unresolvable joins
+        def _lines(p):
+            try:
+                with open(p) as f:
+                    return [ln for ln in f if ln.strip()]
+            except OSError:
+                return []
+        compound = _lines(os.path.join(args.outdir, "3-asm", "c_path"))
+        bridges = [ln for ln in _lines(os.path.join(args.outdir, "3-asm",
+                                                    "utg_data"))
+                   if "repeat_bridge" in ln]
+        a_tp = _lines(os.path.join(args.outdir, "3-asm",
+                                   "a_ctg_tiling_path"))
+        a_ids = {ln.split()[0] for ln in a_tp}
+        print(f"hard-path activity: {len(compound)} compound paths, "
+              f"{len(bridges)} repeat-bridge removals, "
+              f"{len(a_ids)} a_ctg paths", flush=True)
+        t0 = time.time()
+        agg = verify_contigs_multi(ctgs, chroms, circular=True)
+        for r in agg["contigs"]:
+            if not r.get("anchored"):
+                print(f"  {r['name']}: UNANCHORED ({len(ctgs[r['name']])} b)",
+                      flush=True)
+                continue
+            print(f"  {r['name']}: {r['length']:,} b -> chrom {r['chrom']} "
+                  f"({r['orientation']}) exact dist={r['distance']} "
+                  f"identity={r['identity']:.7f} "
+                  f"breaks={r.get('breaks', 0)}", flush=True)
+        tot_ctg_b = sum(len(v) for v in ctgs.values())
+        print(f"p_ctg verify: {agg['length']:,} of {tot_ctg_b:,} contig "
+              f"bases anchored-verified, aggregate exact identity "
+              f"{agg['identity']:.7f}, {agg['breaks']} repeat-join "
+              f"breaks, {agg['chroms_covered']}/{len(chroms)} "
+              f"chromosomes covered, {agg['n_unanchored']} unanchored, "
+              f"{agg['n_small']} small ({time.time()-t0:.0f}s verify)",
+              flush=True)
+        # alternate contigs verify against their source loci
+        a_fa = os.path.join(args.outdir, "4-cns-alt", "a_ctg_cns.fa")
+        if not os.path.exists(a_fa):
+            a_fa = os.path.join(args.outdir, "3-asm", "a_ctg.fa")
+        if os.path.exists(a_fa):
+            actgs = dict(read_fastx(a_fa))
+            if actgs:
+                aagg = verify_contigs_multi(actgs, chroms, circular=True,
+                                            min_len=10000)
+                na = len(aagg["contigs"]) - aagg["n_unanchored"]
+                print(f"a_ctg verify: {na}/{len(aagg['contigs'])} "
+                      f"(>=10 kb) anchored, aggregate identity "
+                      f"{aagg['identity']:.7f} over {aagg['length']:,} b "
+                      f"({aagg['n_small']} small)", flush=True)
+        print("stage walls:", dict(stages))
+        if args.assert_identity is not None:
+            ok = (len(compound) > 0 and len(a_ids) > 0
+                  and agg["identity"] >= args.assert_identity
+                  and agg["length"] >= 0.9 * tot_ctg_b)
+            if not ok:
+                print(f"GATE FAILED: hard paths fired="
+                      f"{(len(compound), len(bridges), len(a_ids))}, "
+                      f"identity={agg['identity']:.7f}, anchored "
+                      f"{agg['length']}/{tot_ctg_b}", flush=True)
+                sys.exit(1)
+        return
     if n_chrom > 1:
         # per-molecule verification: probe a unique interior 64-mer to
         # find each contig's chromosome (contigs may sit in either

@@ -149,3 +149,61 @@ def test_segmented_build_matches_full(rng):
     assert (seg.x == full.x).all() and (seg.y == full.y).all()
     assert (seg.mc_hash == full.mc_hash).all()
     assert (seg.mc_count == full.mc_count).all()
+
+
+def test_segmented_subprocess_workers_identical(rng, tmp_path, monkeypatch):
+    """Subprocess segment workers (VERDICT r4 item 3: the axon client
+    permanently retains every uploaded byte in host anon memory, so
+    at-scale segmented builds run each segment in a short-lived worker)
+    must produce a byte-identical ShimmerIndex from the on-disk db."""
+    import numpy as np
+
+    from peregrine_tpu.config import AsmConfig
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.index import build_index, build_index_segmented
+    from tests.simdata import random_genome, simulate_reads
+
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, sketch_pad_len=8192,
+                    sketch_batch=16)
+    genome = random_genome(rng, 30000)
+    reads, _ = simulate_reads(rng, genome, read_len=2500, coverage=10.0)
+    SeqDB.from_reads(reads).save(str(tmp_path / "db"))
+    db = SeqDB.open(str(tmp_path / "db"))
+    full = build_index(db, cfg)
+    monkeypatch.setenv("PG_INDEX_SUBPROC", "1")
+    seg = build_index_segmented(db, cfg, budget_bytes=50000)
+    assert (seg.x == full.x).all() and (seg.y == full.y).all()
+    assert (seg.mc_hash == full.mc_hash).all()
+    assert (seg.mc_count == full.mc_count).all()
+
+
+def test_amb_plane_elision_identical(rng):
+    """upload_seqdb's ambiguity-plane elision (all-zero amb bytes become
+    device zeros, saving a third of the tunnel transfer) must yield
+    planes numerically identical to the uploaded path, and dbs WITH
+    ambiguous bases must keep the real plane."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from peregrine_tpu.io.seqdb import SeqDB
+    from peregrine_tpu.ops.dbgather import (_amb_plane, _pad_rows,
+                                            pack_db_np, upload_seqdb)
+
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    clean = [(f"r{i}", b2a[rng.integers(0, 4, 3000)].tobytes())
+             for i in range(8)]
+    db = SeqDB.from_reads(clean)
+    fw, ambb = pack_db_np(np.asarray(db.data, np.uint8))
+    assert not ambb.any()
+    planes = upload_seqdb(np.asarray(db.data, np.uint8))
+    np.testing.assert_array_equal(np.asarray(planes.amb),
+                                  _pad_rows(ambb, 1 << 17))
+
+    dirty = list(clean)
+    dirty[3] = ("rN", dirty[3][1][:1000] + b"N" * 5 + dirty[3][1][1005:])
+    db2 = SeqDB.from_reads(dirty)
+    fw2, ambb2 = pack_db_np(np.asarray(db2.data, np.uint8))
+    assert ambb2.any()
+    planes2 = upload_seqdb(np.asarray(db2.data, np.uint8))
+    np.testing.assert_array_equal(np.asarray(planes2.amb),
+                                  _pad_rows(ambb2, 1 << 17))

@@ -157,3 +157,48 @@ def test_spill_preflight_fails_fast(tmp_path, rng, monkeypatch):
     asm2 = Assembly(str(tmp_path / "wd2"), cfg)
     fa = asm2.run_draft(reads=reads)
     assert os.path.exists(fa)
+
+
+def test_repeat_genome_e2e_fires_hard_paths(tmp_path, rng):
+    """Repeat-stressed e2e (VERDICT r4 item 2): a genome with dispersed
+    elements, tandem arrays, and ~99%-identical segmental duplications
+    must drive the string graph through its hard paths (compound
+    paths/bundles and a_ctg emission — machinery uniform-random genomes
+    never fire), and the break-aware exact verifier must attribute the
+    contigs: every >=30 kb contig anchors, aggregate identity over
+    aligned spans >= 0.99, with repeat-join breaks reported rather than
+    drowning the identity."""
+    from tests.simdata import repeat_genome, simulate_reads
+
+    from peregrine_tpu.io.seqdb import read_fastx
+    from peregrine_tpu.verify import verify_contigs_multi
+
+    rng2 = np.random.default_rng(9)
+    chroms, info = repeat_genome(rng2, 900_000, n_chrom=1,
+                                 segdup_len=(50_000, 90_000))
+    assert info["segdup"], "simulator must place segdups"
+    reads, _ = simulate_reads(rng2, chroms[0], read_len=4000,
+                              coverage=16.0, circular_wrap=8000)
+    cfg = AsmConfig(k=12, w=24, r=4, levels=2, min_len=2500,
+                    sketch_pad_len=8192, sketch_batch=16)
+    asm = Assembly(str(tmp_path / "wd"), cfg, with_alt=True)
+    asm.run_draft(reads=reads)
+    asm.build_consensus()
+
+    def _nlines(p):
+        try:
+            with open(p) as f:
+                return sum(1 for ln in f if ln.strip())
+        except OSError:
+            return 0
+
+    n_compound = _nlines(str(tmp_path / "wd/3-asm/c_path"))
+    n_actg = _nlines(str(tmp_path / "wd/3-asm/a_ctg_tiling_path"))
+    assert n_compound > 0, "repeat genome produced no compound paths"
+    assert n_actg > 0, "repeat genome produced no a_ctg paths"
+
+    ctgs = dict(read_fastx(str(tmp_path / "wd/4-cns/p_ctg_cns.fa")))
+    agg = verify_contigs_multi(ctgs, chroms, circular=True, min_len=30000)
+    assert agg["n_unanchored"] == 0
+    assert agg["identity"] >= 0.99, (agg["identity"], agg["breaks"])
+    assert agg["length"] >= 0.7 * sum(len(v) for v in ctgs.values())
