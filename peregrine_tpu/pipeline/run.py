@@ -156,9 +156,12 @@ def _preflight_spill(spill_dir: str, projected: int, what: str) -> None:
     hold the projected spill bytes, instead of dying mid-write on ENOSPC
     (the 3 Gb rung's first attempt died exactly that way — BENCH.md r4).
 
-    The projection is the same 2.0x-db-bytes scaling that engages
-    auto-spill; PG_SPILL_PREFLIGHT=0 disables the gate for filesystems
-    whose statvfs lies (e.g. some overlay mounts)."""
+    NOTE the projection here is the ON-DISK spill-file peak, NOT the
+    2.0x-db anonymous projection that engages auto-spill: spilled
+    buffers free progressively, and the measured disk peak at the 3 Gb
+    rung was <=10 GB on a 90 GB db (~0.11x; BENCH.md r4) — projected at
+    0.22x for margin.  PG_SPILL_PREFLIGHT=0 disables the gate for
+    filesystems whose statvfs lies (e.g. some overlay mounts)."""
     if os.environ.get("PG_SPILL_PREFLIGHT", "1") == "0":
         return
     free = _spill_free_bytes(spill_dir)
@@ -403,7 +406,8 @@ class Assembly:
         import dataclasses
         d = os.path.join(self.outdir, "spill")
         os.makedirs(d, exist_ok=True)
-        _preflight_spill(d, projected, "auto-spill (overlap stage)")
+        _preflight_spill(d, int(0.22 * self.db.data.nbytes),
+                         "auto-spill (overlap stage)")
         self.cfg = dataclasses.replace(self.cfg, spill_dir=d)
         log.info("auto-spill: projected overlap anon ~%.1f GB exceeds "
                  "the %.1f GB budget (PG_MEM_BUDGET/MemAvailable) — "
@@ -421,7 +425,7 @@ class Assembly:
                 # explicit --spill-dir: same capacity gate auto-spill gets
                 os.makedirs(self.cfg.spill_dir, exist_ok=True)
                 _preflight_spill(self.cfg.spill_dir,
-                                 int(2.0 * self.db.data.nbytes),
+                                 int(0.22 * self.db.data.nbytes),
                                  "overlap stage spill")
             dedup = self.cfg.dedup_overlap
             if self.cfg.use_device_aligner or self.cfg.hybrid_overlap:
@@ -473,12 +477,16 @@ class Assembly:
                 # copy and stage 4 rebuilds.
                 from ..ops.overlap import overlap_all_spec
                 free = _spill_free_bytes(self.cfg.spill_dir)
-                keep_map = free >= int(2.4 * self.db.data.nbytes)
+                # pinning the map costs ~0.13x db of disk across stages
+                # 2-4, on top of ~0.11x transient spill and ~0.25x of
+                # stage-3/4 outputs still to come (measured at the 3 Gb
+                # rung, BENCH.md r4) — require 0.55x db free
+                keep_map = free >= int(0.55 * self.db.data.nbytes)
                 log.info("overlap spill mode: %s the stage-2/4 pair map "
                          "(spill free %.1f GB vs %.1f GB to keep it)",
                          "sharing" if keep_map else "not sharing",
                          free / (1 << 30),
-                         2.4 * self.db.data.nbytes / (1 << 30))
+                         0.55 * self.db.data.nbytes / (1 << 30))
                 ovlps = overlap_all_spec(
                     self.db, self.idx, self.cfg,
                     n_workers=n_workers or (os.cpu_count() or 1),

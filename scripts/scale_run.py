@@ -186,6 +186,10 @@ def main():
     # repeat rungs polish the alternate (bubble-branch) contigs too —
     # a_ctg is part of what the rung must prove fires
     asm = Assembly(args.outdir, cfg, with_alt=args.repeats)
+    if glen >= int(1e9):
+        # read_map.txt is a diagnostic mirror of read_map.npy; at >=1 Gb
+        # it costs GBs of the disk the seqdb already strains
+        os.environ.setdefault("PG_SKIP_MAP_TXT", "1")
     stages = []
 
     def _stage0():
