@@ -414,15 +414,31 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
     long_thresh = 2 * cfg.sketch_pad_len
     long_sel = lengths > long_thresh
     if long_sel.any():
+        import concurrent.futures as cf
+
         from .reduce import reduce_flat_np
         from .sketch import sketch_long_np
-        for rid in rids_all[long_sel]:
+
+        def _long_one(rid):
             lx, ly = sketch_long_np(db.codes(rid), int(rid), cfg.w, cfg.k,
                                     seg=cfg.sketch_pad_len)
-            if keep_l0:
-                l0xs[rid], l0ys[rid] = lx, ly
+            l0 = (lx, ly) if keep_l0 else None
             for _ in range(cfg.levels):
                 lx, ly = reduce_flat_np(lx, ly, cfg.r)
+            return rid, lx, ly, l0
+
+        long_rids = rids_all[long_sel]
+        # contig-parallel: the numpy bulk releases the GIL, so threads
+        # roughly halve the 24 x 125 Mb contig-sketch wall of stage 4
+        # at the human-class rung (~250 s single-threaded)
+        if len(long_rids) > 1 and (os.cpu_count() or 1) > 1:
+            with cf.ThreadPoolExecutor(os.cpu_count() or 1) as ex:
+                results = list(ex.map(_long_one, long_rids))
+        else:
+            results = [_long_one(rid) for rid in long_rids]
+        for rid, lx, ly, l0 in results:
+            if keep_l0:
+                l0xs[rid], l0ys[rid] = l0
             xs[rid], ys[rid] = lx, ly
         rids_all = rids_all[~long_sel]
         lengths = lengths[~long_sel]
