@@ -16,7 +16,7 @@
 
 CHECK_DIR ?= /tmp/pg_check_rung
 
-.PHONY: check test rung h2h
+.PHONY: check test rung h2h h2h-repeats
 
 test:
 	python -m pytest tests/ -q
@@ -24,10 +24,16 @@ test:
 h2h:
 	python scripts/ecoli_h2h.py
 
+# repeat-bearing variant (7 rRNA-like operons + IS elements — the real
+# K12's repeat content); strictly harder than the plain h2h, same
+# >=99.9% mutual-identity gate
+h2h-repeats:
+	python scripts/ecoli_h2h.py --repeats
+
 rung:
 	rm -rf $(CHECK_DIR)
 	python scripts/scale_run.py $(CHECK_DIR) --genome-mb 50 --sim-direct \
 	    --assert-identity 0.9999
 
-check: test h2h rung
+check: test h2h-repeats rung
 	@echo "make check: ALL GATES PASSED"
