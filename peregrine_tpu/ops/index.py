@@ -410,8 +410,12 @@ def build_index(db: SeqDB, cfg: AsmConfig, rid_filter: np.ndarray | None = None,
                 l0ys[rid] = y0[b, :c0[b]].copy()
 
     # long sequences (contigs/references) go through the fixed-shape
-    # segmented path: one kernel shape regardless of sequence length
-    long_thresh = 2 * cfg.sketch_pad_len
+    # segmented path: one kernel shape regardless of sequence length.
+    # The threshold is the tuned pad length itself: device pad classes
+    # ABOVE it are untuned shapes — at L=65536 the Pallas build_stream
+    # scratch exceeds the 16 MB VMEM scoped limit (first hit by the
+    # repeat rung's 33-65 kb contig fragments; reads never get there)
+    long_thresh = cfg.sketch_pad_len
     long_sel = lengths > long_thresh
     if long_sel.any():
         import concurrent.futures as cf

@@ -738,6 +738,8 @@ class Assembly:
             log.info("stage 2 overlap [multihost x%d]: %d records -> %d "
                      "rows (%.1fs on rank 0)", nranks, len(ovlps), n_rows,
                      time.time() - t0)
+            import shutil
+            shutil.rmtree(xdir, ignore_errors=True)
 
     def _mh_consensus(self, rank: int, nranks: int, barrier,
                       n_workers: int | None = None) -> str:
@@ -803,6 +805,8 @@ class Assembly:
                 f.write(f">{ctg_db.names[ctg_rid]}\n"
                         f"{seqs[ctg_rid].decode()}\n")
         os.replace(out_fa + ".tmp", out_fa)
+        import shutil
+        shutil.rmtree(xdir, ignore_errors=True)
         log.info("stage 4 consensus done [multihost x%d]", nranks)
         return out_fa
 
