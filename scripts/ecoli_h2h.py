@@ -168,7 +168,9 @@ def main():
         print(f"{tag}: dist={v['distance']} over {v['length']:,} "
               f"identity={v['identity']:.7f}", flush=True)
 
-    rep = os.path.join(os.path.dirname(__file__), "..", "docs_logs_r4",
+    rep_dir = os.path.join(os.path.dirname(__file__), "..", "docs_logs_r4")
+    os.makedirs(rep_dir, exist_ok=True)
+    rep = os.path.join(rep_dir,
                        "ECOLI_H2H_REPEATS.md" if repeats
                        else "ECOLI_H2H.md")
     with open(rep, "w") as f:
